@@ -1,0 +1,100 @@
+"""Flow-field warping (DNet's stabilization path).
+
+Replicates the semantics of ``futils/flow_util.py:3-56`` in the reference:
+a predicted 2-channel flow field is converted to a normalized deformation
+grid and the source image is bilinearly sampled at the deformed coordinates
+(torch ``grid_sample`` with its default ``align_corners=False`` and zero
+padding).
+
+TPU-first: the sample is expressed as a pair of clipped integer gathers with
+in-bounds masks — static shapes, fully vectorized over the frame batch, and
+fusible by XLA. (A Pallas version exists in s2v_tpu.ops.pallas for the hot
+path; this is the reference implementation both are tested against.)
+
+All arrays are NHWC; flow is [B, H, W, 2] with channel order (dx, dy) to
+match the reference's 2-channel conv output (models/DNet.py:77-79).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def make_coordinate_grid(h: int, w: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[H, W, 2] grid of (x, y) in [-1, 1] (reference flow_util.py:17-38)."""
+    x = jnp.linspace(-1.0, 1.0, w, dtype=dtype)
+    y = jnp.linspace(-1.0, 1.0, h, dtype=dtype)
+    xx = jnp.broadcast_to(x[None, :], (h, w))
+    yy = jnp.broadcast_to(y[:, None], (h, w))
+    return jnp.stack([xx, yy], axis=-1)
+
+
+def convert_flow_to_deformation(flow: jnp.ndarray) -> jnp.ndarray:
+    """Pixel-unit flow [B,H,W,2] -> normalized deformation grid [B,H,W,2].
+
+    Reference: flow_util.py:3-15 — flow is scaled by 2/(size-1) per axis and
+    added to the identity grid.
+    """
+    b, h, w, _ = flow.shape
+    scale = jnp.asarray([2.0 / (w - 1), 2.0 / (h - 1)], dtype=flow.dtype)
+    grid = make_coordinate_grid(h, w, dtype=flow.dtype)
+    return grid[None] + flow * scale
+
+
+def grid_sample_bilinear(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """torch ``F.grid_sample(align_corners=False, padding_mode='zeros')``.
+
+    image: [B, H, W, C]; grid: [B, Hg, Wg, 2] with (x, y) in [-1, 1].
+    Returns [B, Hg, Wg, C].
+    """
+    b, h, w, c = image.shape
+    gx, gy = grid[..., 0], grid[..., 1]
+    # Unnormalize (align_corners=False): ix = ((x + 1) * W - 1) / 2
+    ix = ((gx + 1.0) * w - 1.0) * 0.5
+    iy = ((gy + 1.0) * h - 1.0) * 0.5
+
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    ix1 = ix0 + 1.0
+    iy1 = iy0 + 1.0
+    fx = ix - ix0
+    fy = iy - iy0
+
+    def gather(iy_, ix_):
+        iyc = jnp.clip(iy_.astype(jnp.int32), 0, h - 1)
+        ixc = jnp.clip(ix_.astype(jnp.int32), 0, w - 1)
+        flat = image.reshape(b, h * w, c)
+        idx = iyc * w + ixc  # [B, Hg, Wg]
+        vals = jnp.take_along_axis(
+            flat, idx.reshape(b, -1, 1), axis=1
+        ).reshape(b, *idx.shape[1:], c)
+        inb = (
+            (iy_ >= 0) & (iy_ <= h - 1) & (ix_ >= 0) & (ix_ <= w - 1)
+        ).astype(image.dtype)
+        return vals * inb[..., None]
+
+    v00 = gather(iy0, ix0)
+    v01 = gather(iy0, ix1)
+    v10 = gather(iy1, ix0)
+    v11 = gather(iy1, ix1)
+
+    fx = fx[..., None].astype(image.dtype)
+    fy = fy[..., None].astype(image.dtype)
+    top = v00 * (1.0 - fx) + v01 * fx
+    bot = v10 * (1.0 - fx) + v11 * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def warp_image(source: jnp.ndarray, deformation: jnp.ndarray) -> jnp.ndarray:
+    """Warp ``source`` [B,H,W,C] by a deformation grid (flow_util.py:41-56).
+
+    If the deformation resolution differs from the image, it is bilinearly
+    upsampled first (the reference predicts flow at 64^2 and warps 256^2).
+    """
+    from s2v_tpu.ops.image import resize_bilinear
+
+    _, h, w, _ = source.shape
+    _, hd, wd, _ = deformation.shape
+    if (hd, wd) != (h, w):
+        deformation = resize_bilinear(deformation, (h, w))
+    return grid_sample_bilinear(source, deformation)
