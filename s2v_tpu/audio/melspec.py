@@ -94,6 +94,8 @@ def melspectrogram(wav: jnp.ndarray, cfg: AudioConfig = AudioConfig()) -> jnp.nd
     Matches futils/audio.py:45-51 (melspectrogram) bit-for-bit up to float
     associativity.
     """
+    if wav.ndim != 1:
+        raise ValueError(f"melspectrogram expects a mono [T] waveform, got {wav.shape}")
     if cfg.preemphasize:
         wav = preemphasis(wav, cfg.preemphasis)
     mag = stft_magnitude(wav, cfg)  # [n_frames, n_freq]

@@ -1,0 +1,88 @@
+"""Golden tests: conv primitives vs torch CPU."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from s2v_tpu.ops.convs import (
+    conv1d,
+    conv2d,
+    conv_transpose2d,
+    torch_conv_weight_to_hwio,
+    torch_convtranspose_weight_to_hwoi,
+)
+
+RNG = np.random.RandomState(7)
+
+
+def test_conv2d_matches_torch():
+    x = RNG.randn(2, 17, 13, 6).astype(np.float32)
+    w = RNG.randn(8, 6, 3, 3).astype(np.float32)  # OIHW
+    b = RNG.randn(8).astype(np.float32)
+    want = F.conv2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(w),
+        torch.from_numpy(b), stride=2, padding=1,
+    ).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(
+        conv2d(jnp.asarray(x), jnp.asarray(torch_conv_weight_to_hwio(w)),
+               jnp.asarray(b), stride=2, padding=1)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_reflect_matches_torch():
+    """FFC convs use padding_mode='reflect' (models/ffc.py:198)."""
+    x = RNG.randn(2, 12, 12, 4).astype(np.float32)
+    w = RNG.randn(5, 4, 3, 3).astype(np.float32)
+    conv = torch.nn.Conv2d(4, 5, 3, padding=1, padding_mode="reflect", bias=False)
+    with torch.no_grad():
+        conv.weight.copy_(torch.from_numpy(w))
+    want = conv(torch.from_numpy(x.transpose(0, 3, 1, 2))).detach().numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(
+        conv2d(jnp.asarray(x), jnp.asarray(torch_conv_weight_to_hwio(w)),
+               padding=1, padding_mode="reflect")
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_conv1d_dilated_matches_torch():
+    """MappingNet uses Conv1d k3 dilation 3 (models/DNet.py:42)."""
+    x = RNG.randn(2, 27, 73).astype(np.float32)  # NLC
+    w = RNG.randn(256, 73, 7).astype(np.float32)  # O,I,k
+    b = RNG.randn(256).astype(np.float32)
+    want = F.conv1d(
+        torch.from_numpy(x.transpose(0, 2, 1)), torch.from_numpy(w),
+        torch.from_numpy(b),
+    ).numpy().transpose(0, 2, 1)
+    got = np.asarray(
+        conv1d(jnp.asarray(x), jnp.asarray(w.transpose(2, 1, 0)), jnp.asarray(b))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+    w2 = RNG.randn(16, 73, 3).astype(np.float32)
+    want2 = F.conv1d(
+        torch.from_numpy(x.transpose(0, 2, 1)), torch.from_numpy(w2), dilation=3
+    ).numpy().transpose(0, 2, 1)
+    got2 = np.asarray(conv1d(jnp.asarray(x), jnp.asarray(w2.transpose(2, 1, 0)), dilation=3))
+    np.testing.assert_allclose(got2, want2, rtol=1e-3, atol=1e-3)
+
+
+def test_conv_transpose2d_matches_torch():
+    """ADAINDecoderBlock upsampling: k3 s2 p1 op1 (base_blocks.py:224)."""
+    x = RNG.randn(2, 8, 8, 6).astype(np.float32)
+    w = RNG.randn(6, 4, 3, 3).astype(np.float32)  # torch [I,O,kh,kw]
+    b = RNG.randn(4).astype(np.float32)
+    want = F.conv_transpose2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(w),
+        torch.from_numpy(b), stride=2, padding=1, output_padding=1,
+    ).numpy().transpose(0, 2, 3, 1)
+    got = np.asarray(
+        conv_transpose2d(
+            jnp.asarray(x), jnp.asarray(torch_convtranspose_weight_to_hwoi(w)),
+            jnp.asarray(b), stride=2, padding=1, output_padding=1,
+        )
+    )
+    assert got.shape == want.shape == (2, 16, 16, 4)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
