@@ -52,8 +52,9 @@ class MappingNet(nn.Module):
         out = conv1d(coeff_window, w, b)  # L: 27 -> 21
         for i in range(self.layer):
             w, b = conv(f"encoder{i}", self.descriptor_nc, 3, dilation=3)
-            out = lrelu(out, 0.1)
-            out = conv1d(out, w, b, dilation=3) + out[:, 3:-3, :]
+            # residual is the PRE-activation tensor (DNet.py:52: the
+            # nonlinearity lives inside the Sequential, the skip outside)
+            out = conv1d(lrelu(out, 0.1), w, b, dilation=3) + out[:, 3:-3, :]
         return out.mean(axis=1)  # AdaptiveAvgPool1d(1) -> [B, 256]
 
 

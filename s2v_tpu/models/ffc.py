@@ -88,12 +88,19 @@ class FFC(nn.Module):
 
 
 class FineADAINLama(nn.Module):
-    """base_blocks.py:368-386: FFC + per-stream ADAIN(z) + lrelu(0.1)."""
+    """base_blocks.py:368-386: FFC + per-stream ADAIN(z) + leaky relu.
+
+    Slope quirk: FFCADAINResBlocks passes (norm_layer, nonlinearity,
+    use_spect) positionally into FFCResnetBlock's unrelated signature
+    (base_blocks.py:419 vs :390), so FineADAINLama is constructed with its
+    *default* nonlinearity nn.LeakyReLU() — slope 0.01, not the 0.1 used
+    elsewhere. Checkpoints were trained with 0.01; we match it.
+    """
 
     features: int
     feature_nc: int
     ratio: float = 0.75
-    slope: float = 0.1
+    slope: float = 0.01
 
     @nn.compact
     def __call__(self, x_l, x_g, z, train: bool = False):

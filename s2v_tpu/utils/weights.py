@@ -1,0 +1,371 @@
+"""PyTorch checkpoint -> flax variables conversion.
+
+The reference distributes weights as torch ``state_dict``s (DNet_path /
+LNet_path / ENet_path, futils/inference_utils.py:19-22, loaded by
+models/__init__.py:8-56). This module maps those flat name->tensor dicts onto
+the s2v_tpu model trees:
+
+- conv weights transpose OIHW -> HWIO (conv1d: OIk -> kIO; transposed convs:
+  IOhw -> hwOI), linear weights transpose [out,in] -> [in,out]
+- spectral-normalized convs (use_spect=True paths: all LNet encoder/decoder
+  block convs) are folded: weight = weight_orig / sigma with
+  sigma = u . (W_mat @ v) from the stored power-iteration vectors — exactly
+  what torch computes in eval mode
+- LayerNorm2d affine params reshape (C,1,1) -> (C,)
+- BatchNorm running stats land in the 'batch_stats' collection
+
+Every converter is validated structurally against ``model.init`` trees and
+numerically against the reference torch modules (tests/test_weight_parity.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+class SDView:
+    """Prefix view over a flat torch state_dict of numpy arrays."""
+
+    def __init__(self, sd: Dict[str, np.ndarray], prefix: str = ""):
+        self.sd = sd
+        self.prefix = prefix
+
+    def sub(self, name: str) -> "SDView":
+        return SDView(self.sd, f"{self.prefix}{name}.")
+
+    def __contains__(self, name: str) -> bool:
+        return f"{self.prefix}{name}" in self.sd
+
+    def get(self, name: str) -> np.ndarray:
+        return np.asarray(self.sd[f"{self.prefix}{name}"], dtype=np.float32)
+
+    # --- layer extractors -------------------------------------------------
+
+    def conv_weight(self, name: str) -> np.ndarray:
+        """Conv2d weight with optional spectral-norm folding; OIHW -> HWIO."""
+        if f"{name}.weight_orig" in self:
+            w = self.get(f"{name}.weight_orig")
+            u = self.get(f"{name}.weight_u")
+            v = self.get(f"{name}.weight_v")
+            sigma = float(u @ (w.reshape(w.shape[0], -1) @ v))
+            w = w / sigma
+        else:
+            w = self.get(f"{name}.weight")
+        return np.transpose(w, (2, 3, 1, 0))
+
+    def conv(self, name: str, bias: bool = True) -> Dict[str, np.ndarray]:
+        out = {"weight": self.conv_weight(name)}
+        if bias and f"{name}.bias" in self:
+            out["bias"] = self.get(f"{name}.bias")
+        return out
+
+    def conv1d(self, name: str) -> Tuple[np.ndarray, np.ndarray]:
+        w = self.get(f"{name}.weight")  # [O, I, k]
+        return np.transpose(w, (2, 1, 0)), self.get(f"{name}.bias")
+
+    def conv_transpose(self, name: str) -> Dict[str, np.ndarray]:
+        w = self.get(f"{name}.weight")  # torch [I, O, kh, kw]
+        out = {"weight": np.transpose(w, (2, 3, 1, 0))}  # [kh,kw,O,I]
+        if f"{name}.bias" in self:
+            out["bias"] = self.get(f"{name}.bias")
+        return out
+
+    def linear(self, name: str, bias: bool = True) -> Dict[str, np.ndarray]:
+        out = {"weight": np.transpose(self.get(f"{name}.weight"))}
+        if bias and f"{name}.bias" in self:
+            out["bias"] = self.get(f"{name}.bias")
+        return out
+
+    def ln2d(self, name: str) -> Dict[str, np.ndarray]:
+        """LayerNorm2d (C,1,1) affine -> (C,)."""
+        return {
+            "weight": self.get(f"{name}.weight").reshape(-1),
+            "bias": self.get(f"{name}.bias").reshape(-1),
+        }
+
+    def ln(self, name: str) -> Dict[str, np.ndarray]:
+        return {"weight": self.get(f"{name}.weight"), "bias": self.get(f"{name}.bias")}
+
+    def bn(self, name: str) -> Tuple[Dict[str, np.ndarray], Dict[str, np.ndarray]]:
+        params = {"weight": self.get(f"{name}.weight"), "bias": self.get(f"{name}.bias")}
+        stats = {
+            "running_mean": self.get(f"{name}.running_mean"),
+            "running_var": self.get(f"{name}.running_var"),
+        }
+        return params, stats
+
+    def adain(self, name: str) -> Dict[str, np.ndarray]:
+        v = self.sub(name)
+        return {
+            "mlp_shared": v.linear("mlp_shared.0"),
+            "mlp_gamma": v.linear("mlp_gamma"),
+            "mlp_beta": v.linear("mlp_beta"),
+        }
+
+
+def _norm_block(view: SDView, conv_idx: int = 0, norm_idx: int = 1):
+    """conv + LayerNorm2d blocks (FirstBlock2d/DownBlock2d/UpBlock2d/Jump)."""
+    return {
+        "conv": view.conv(f"model.{conv_idx}"),
+        "norm": view.ln2d(f"model.{norm_idx}"),
+    }
+
+
+# --------------------------------------------------------------------------
+# LNet
+# --------------------------------------------------------------------------
+
+def convert_lnet(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    v = SDView(sd, prefix)
+    params: Dict = {}
+    stats: Dict = {}
+
+    # ---- encoder ----
+    enc = v.sub("encoder")
+    e: Dict = {
+        "first_inp": _norm_block(enc.sub("first_inp")),
+        "first_ref": _norm_block(enc.sub("first_ref")),
+    }
+    for i in range(3):
+        e[f"inp_down{i}"] = _norm_block(enc.sub(f"inp_down{i}"))
+        e[f"ref_down{i}"] = _norm_block(enc.sub(f"ref_down{i}"))
+    # cross-attention at level 2
+    ca = enc.sub("ca2")
+    ca_p: Dict = {}
+    for d in range(2):
+        lay = ca.sub(f"layers.{d}")
+        ca_p[f"normx{d}"] = lay.ln("0.normx")
+        ca_p[f"normy{d}"] = lay.ln("0.normy")
+        ca_p[f"attn{d}"] = {
+            "to_q": lay.linear("0.fn.to_q", bias=False),
+            "to_k": lay.linear("0.fn.to_k", bias=False),
+            "to_v": lay.linear("0.fn.to_v", bias=False),
+            "to_out": lay.linear("0.fn.to_out.0"),
+        }
+        ca_p[f"normf{d}"] = lay.ln("1.norm")
+        ca_p[f"ff{d}"] = {
+            "fc1": lay.linear("1.fn.net.0"),
+            "fc2": lay.linear("1.fn.net.3"),
+        }
+    e["ca2"] = ca_p
+    params["encoder"] = e
+
+    # ---- audio encoder ----
+    ae = v.sub("audio_encoder")
+    ae_p: Dict = {}
+    ae_s: Dict = {}
+    for k in range(13):
+        name = f"conv{k}" if k <= 10 else ("conv11" if k == 11 else "conv12")
+        blk = ae.sub(f"{k}")
+        bn_p, bn_s = blk.bn("conv_block.1")
+        ae_p[name] = {"conv": blk.conv("conv_block.0"), "bn": bn_p}
+        ae_s[name] = {"bn": bn_s}
+    params["audio_encoder"] = ae_p
+    stats["audio_encoder"] = ae_s
+
+    # ---- decoder ----
+    dec = v.sub("decoder")
+    d_p: Dict = {}
+    d_s: Dict = {}
+    for i in range(3):
+        res_p: Dict = {}
+        res_s: Dict = {}
+        for j in range(9):
+            blk = dec.sub(f"res{i}.res{j}")
+            bp: Dict = {}
+            bs: Dict = {}
+            for conv_name in ("conv1", "conv2"):
+                lama = blk.sub(conv_name)
+                ffc = lama.sub("ffc")
+                st = ffc.sub("convg2g")
+                st_conv1_bn_p, st_conv1_bn_s = st.bn("conv1.1")
+                fu = st.sub("fu")
+                fu_bn_p, fu_bn_s = fu.bn("bn")
+                bp[conv_name] = {
+                    "ffc": {
+                        "convl2l": ffc.conv("convl2l", bias=False),
+                        "convl2g": ffc.conv("convl2g", bias=False),
+                        "convg2l": ffc.conv("convg2l", bias=False),
+                        "convg2g": {
+                            "conv1": {"weight": st.conv_weight("conv1.0")},
+                            "conv1_bn": st_conv1_bn_p,
+                            "fu": {
+                                "conv_layer": {"weight": fu.conv_weight("conv_layer")},
+                                "bn": fu_bn_p,
+                            },
+                            "conv2": {"weight": st.conv_weight("conv2")},
+                        },
+                    },
+                    "bn_l": lama.adain("bn_l"),
+                    "bn_g": lama.adain("bn_g"),
+                }
+                bs[conv_name] = {
+                    "ffc": {
+                        "convg2g": {
+                            "conv1_bn": st_conv1_bn_s,
+                            "fu": {"bn": fu_bn_s},
+                        }
+                    }
+                }
+            res_p[f"res{j}"] = bp
+            res_s[f"res{j}"] = bs
+        d_p[f"res{i}"] = res_p
+        d_s[f"res{i}"] = res_s
+        d_p[f"up{i}"] = _norm_block(dec.sub(f"up{i}"))
+        d_p[f"jump{i}"] = _norm_block(dec.sub(f"jump{i}"))
+    d_p["final"] = {"conv": dec.conv("final.model.0")}
+    params["decoder"] = d_p
+    stats["decoder"] = d_s
+
+    return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# ENet
+# --------------------------------------------------------------------------
+
+def convert_enet(
+    sd: Dict[str, np.ndarray],
+    lnet_sd: Optional[Dict[str, np.ndarray]] = None,
+    prefix: str = "",
+) -> Dict:
+    """ENet state_dict (+ separate LNet state_dict, as the reference loads
+    them: models/__init__.py:29-35 skips 'low_res' keys from the ENet file
+    and loads LNet_path into the wrapped LNet)."""
+    v = SDView(sd, prefix)
+    se: Dict = {
+        "conv_body_first": v.conv("conv_body_first"),
+        "final_conv": v.conv("final_conv"),
+        "final_linear": v.linear("final_linear"),
+    }
+    for i in range(6):
+        blk = v.sub(f"conv_body_down.{i}")
+        se[f"conv_body_down{i}"] = {
+            "conv1": blk.conv("conv1"),
+            "conv2": blk.conv("conv2"),
+            "skip": blk.conv("skip", bias=False),
+        }
+
+    def modconv(view: SDView) -> Dict:
+        w = view.get("weight")[0]  # (1,O,I,k,k) -> (O,I,k,k)
+        return {
+            "weight": np.transpose(w, (2, 3, 1, 0)),
+            "modulation": view.linear("modulation"),
+        }
+
+    params: Dict = {"style_encoder": se}
+    for k in range(4):
+        sc = v.sub(f"style_convs.{k}")
+        params[f"style_conv{k}"] = {
+            "modulated_conv": modconv(sc.sub("modulated_conv")),
+            "noise_weight": sc.get("weight"),
+            "bias": sc.get("bias").reshape(-1),
+        }
+    for k in range(2):
+        rgb = v.sub(f"to_rgbs.{k}")
+        params[f"to_rgb{k}"] = {
+            "modulated_conv": modconv(rgb.sub("modulated_conv")),
+            "bias": rgb.get("bias").reshape(-1),
+        }
+
+    stats: Dict = {}
+    if lnet_sd is not None:
+        lnet_vars = convert_lnet(lnet_sd)
+        params["low_res"] = lnet_vars["params"]
+        stats["low_res"] = lnet_vars["batch_stats"]
+    return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# DNet
+# --------------------------------------------------------------------------
+
+def convert_dnet(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    v = SDView(sd, prefix)
+
+    # ---- mapping net ----
+    mp = v.sub("mapping_net")
+    m: Dict = {}
+    w, b = mp.conv1d("first.0")
+    m["first_weight"], m["first_bias"] = w, b
+    for i in range(3):
+        w, b = mp.conv1d(f"encoder{i}.1")
+        m[f"encoder{i}_weight"], m[f"encoder{i}_bias"] = w, b
+
+    # ---- warping net ----
+    wp = v.sub("warpping_net")
+    hg = wp.sub("hourglass")
+    h: Dict = {"input_layer": hg.conv("encoder.input_layer")}
+    for i in range(5):
+        blk = hg.sub(f"encoder.encoder{i}")
+        h[f"encoder{i}"] = {
+            "conv_0": blk.conv("conv_0"),
+            "conv_1": blk.conv("conv_1"),
+            "norm_0": blk.adain("norm_0"),
+            "norm_1": blk.adain("norm_1"),
+        }
+    for i in range(2, 5):
+        blk = hg.sub(f"decoder.decoder{i}")
+        h[f"decoder{i}"] = {
+            "conv_0": blk.conv("conv_0"),
+            "conv_1": blk.conv_transpose("conv_1"),
+            "conv_s": blk.conv_transpose("conv_s"),
+            "norm_0": blk.adain("norm_0"),
+            "norm_1": blk.adain("norm_1"),
+            "norm_s": blk.adain("norm_s"),
+        }
+    warp = {
+        "hourglass": h,
+        "flow_norm": wp.ln2d("flow_out.0"),
+        "flow_conv": wp.conv("flow_out.2"),
+    }
+
+    # ---- editing net ----
+    ed = v.sub("editing_net")
+    enc: Dict = {"first": _norm_block(ed.sub("encoder.first"))}
+    for i in range(3):
+        enc[f"down{i}"] = _norm_block(ed.sub(f"encoder.down{i}"))
+    dec: Dict = {}
+    for i in range(3):
+        res: Dict = {}
+        for j in range(2):
+            blk = ed.sub(f"decoder.res{i}.res{j}")
+            res[f"res{j}"] = {
+                "conv1": blk.conv("conv1"),
+                "conv2": blk.conv("conv2"),
+                "norm1": blk.adain("norm1"),
+                "norm2": blk.adain("norm2"),
+            }
+        dec[f"res{i}"] = res
+        dec[f"up{i}"] = _norm_block(ed.sub(f"decoder.up{i}"))
+        dec[f"jump{i}"] = _norm_block(ed.sub(f"decoder.jump{i}"))
+    dec["final"] = {"conv": ed.conv("decoder.final.model.0")}
+
+    params = {
+        "mapping_net": m,
+        "warpping_net": warp,
+        "editing_net": {"encoder": enc, "decoder": dec},
+    }
+    return {"params": params, "batch_stats": {}}
+
+
+def load_torch_checkpoint(path: str, key: Optional[str] = "state_dict",
+                          strip_module: bool = True) -> Dict[str, np.ndarray]:
+    """torch.load a checkpoint file to a flat numpy state_dict.
+
+    Mirrors models/__init__.py:12-27: unwraps the 'state_dict' key when
+    present and strips 'module.' DataParallel prefixes.
+    """
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if key and isinstance(ckpt, dict) and key in ckpt:
+        ckpt = ckpt[key]
+    out = {}
+    for k, t in ckpt.items():
+        if strip_module and k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = t.detach().cpu().numpy()
+    return out
