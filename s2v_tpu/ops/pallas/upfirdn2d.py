@@ -1,0 +1,171 @@
+"""upfirdn2d (upsample - FIR filter - downsample) — Pallas TPU kernel.
+
+TPU-native replacement for the reference's CUDA op
+third_part/GPEN/face_model/op/upfirdn2d_kernel.cu (271 LoC): the StyleGAN2
+blur/resampling primitive behind GPEN's Blur / Upsample / Downsample layers
+(gpen_model.py:37-99). Semantics follow the reference's python fallback
+upfirdn2d_native (op/upfirdn2d.py:162-200):
+
+  1. insert (up-1) zeros after every sample (both axes)
+  2. pad by (pad0, pad1) on each axis (negative pads crop)
+  3. correlate with the FLIPPED kernel (i.e. convolve with the kernel)
+  4. keep every down-th sample
+
+Layout is NHWC (channels on the 128-lane axis). The zero-stuff + pad run in
+XLA (cheap, fusible); the FIR + downsample run as a Pallas kernel that tiles
+output rows, DMAs the halo'd input rows HBM->VMEM, and accumulates the
+(kh x kw <= 16) taps as shifted multiply-adds on the VPU with the stride-
+``down`` selection done by reshape — no gathers, no dynamic shapes.
+
+``upfirdn2d(..., use_pallas=False)`` routes to an XLA depthwise-conv
+reference used for parity tests and as the fallback for shapes whose rows
+don't fit VMEM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _stuff_and_pad(x, up: int, pad: Tuple[int, int]):
+    """Zero-stuff by ``up`` and apply (possibly negative) pads, both axes."""
+    b, h, w, c = x.shape
+    if up > 1:
+        z = jnp.zeros((b, h, up, w, up, c), x.dtype)
+        z = z.at[:, :, 0, :, 0, :].set(x)
+        x = z.reshape(b, h * up, w * up, c)
+        # torch stuffs (up-1) zeros AFTER each sample; trailing zeros included
+    p0, p1 = pad
+    x = jnp.pad(x, ((0, 0), (max(p0, 0), max(p1, 0)), (max(p0, 0), max(p1, 0)), (0, 0)))
+    if p0 < 0 or p1 < 0:
+        hs = max(-p0, 0)
+        he = x.shape[1] - max(-p1, 0)
+        x = x[:, hs:he, hs:he, :]
+    return x
+
+
+def upfirdn2d_ref(x, kernel, up: int = 1, down: int = 1,
+                  pad: Tuple[int, int] = (0, 0)):
+    """XLA reference: zero-stuff + pad + depthwise correlation + stride."""
+    kernel = jnp.asarray(kernel, x.dtype)
+    xp = _stuff_and_pad(x, up, pad)
+    c = x.shape[-1]
+    # correlate with flipped kernel == convolve with kernel
+    w = jnp.flip(kernel, (0, 1))[:, :, None, None]  # [kh,kw,1,1]
+    w = jnp.tile(w, (1, 1, 1, c))  # depthwise: O=C, I=1
+    return jax.lax.conv_general_dilated(
+        xp, w,
+        window_strides=(down, down),
+        padding=[(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def _fir_down_kernel(xp_hbm, o_ref, scratch, sem, *, taps, down, tile_oh, w_out, c):
+    """One (batch, row-tile): DMA halo'd rows, accumulate FIR taps."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    kh = len(taps)
+    kw = len(taps[0])
+    bh = tile_oh * down + kh - 1
+
+    dma = pltpu.make_async_copy(
+        xp_hbm.at[b, pl.ds(t * tile_oh * down, bh)], scratch, sem
+    )
+    dma.start()
+    dma.wait()
+
+    acc = jnp.zeros((tile_oh, w_out, c), jnp.float32)
+    for i in range(kh):
+        for j in range(kw):
+            wij = taps[i][j]
+            if wij == 0.0:
+                continue
+            rows = scratch[i : i + tile_oh * down, j : j + w_out * down, :]
+            if down > 1:
+                rows = rows.reshape(tile_oh, down, w_out, down, c)[:, 0, :, 0, :]
+            acc = acc + wij * rows.astype(jnp.float32)
+    o_ref[0] = acc.astype(o_ref.dtype)
+
+
+def upfirdn2d_pallas(x, kernel, up: int = 1, down: int = 1,
+                     pad: Tuple[int, int] = (0, 0)):
+    kernel = np.asarray(kernel, np.float32)
+    kh, kw = kernel.shape
+    b, h, w, c = x.shape
+    xp = _stuff_and_pad(x, up, pad)
+    hp, wp = xp.shape[1], xp.shape[2]
+    out_h = (hp - kh) // down + 1
+    out_w = (wp - kw) // down + 1
+
+    # pick an output-row tile; pad Hp so every DMA slice is in bounds
+    tile_oh = 8
+    while tile_oh > 1 and out_h % tile_oh != 0:
+        tile_oh //= 2
+    n_tiles = -(-out_h // tile_oh)
+    bh = tile_oh * down + kh - 1
+    need_rows = (n_tiles - 1) * tile_oh * down + bh
+    # width: the reshape-based stride-``down`` selection reads
+    # [j : j + w_out*down] for j < kw, so pad to (kw-1) + w_out*down
+    need_cols = (kw - 1) + out_w * down
+    pad_r = max(need_rows - hp, 0)
+    pad_c = max(need_cols - wp, 0)
+    if pad_r or pad_c:
+        xp = jnp.pad(xp, ((0, 0), (0, pad_r), (0, pad_c), (0, 0)))
+
+    # correlation uses the flipped kernel (matches reference conv2d(flip(k)))
+    flipped = kernel[::-1, ::-1]
+    taps = tuple(tuple(float(v) for v in row) for row in flipped)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fir_down_kernel, taps=taps, down=down,
+            tile_oh=tile_oh, w_out=out_w, c=c,
+        ),
+        grid=(b, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, tile_oh, out_w, c), lambda bi, ti: (bi, ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, out_h, out_w, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bh, xp.shape[2], c), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xp)
+    return out
+
+
+# VMEM budget for the Pallas fast path (bytes): halo'd block + accumulator
+_VMEM_BUDGET = 8 * 1024 * 1024
+
+
+def upfirdn2d(x, kernel, up: int = 1, down: int = 1,
+              pad: Tuple[int, int] = (0, 0), use_pallas: bool = True):
+    """NHWC upfirdn2d with the reference op's exact semantics.
+
+    Chooses the Pallas kernel when the working set fits VMEM and the
+    platform compiles Mosaic; otherwise the XLA depthwise path (still fast —
+    XLA fuses the stuff/pad/conv chain).
+    """
+    kernel = np.asarray(kernel, np.float32)
+    kh, kw = kernel.shape
+    b, h, w, c = x.shape
+    itemsize = np.dtype(x.dtype).itemsize
+    bh = 8 * down + kh - 1
+    wp = w * up + pad[0] + pad[1]
+    fits = (bh * wp * c + 8 * wp * c * 2) * itemsize < _VMEM_BUDGET
+    on_tpu = jax.default_backend() not in ("cpu",)
+    if use_pallas and fits and on_tpu:
+        return upfirdn2d_pallas(x, kernel, up, down, pad)
+    return upfirdn2d_ref(x, kernel, up, down, pad)

@@ -74,16 +74,24 @@ def windowed_map(fn, x, window: int, mesh: Mesh, extra_specs=()):
     return run(x)
 
 
+def window_offsets(window: int) -> np.ndarray:
+    """Frame offsets for a temporal window, reference convention.
+
+    obtain_seq_index (inference_utils.py:73-76) is ``range(i-13, i+13)`` —
+    a 26-wide window spanning offsets -13..+12. Generally: offsets
+    ``arange(window) - window//2`` (asymmetric for even windows).
+    """
+    return np.arange(window) - window // 2
+
+
 def gather_windows(x: jnp.ndarray, window: int) -> jnp.ndarray:
-    """[N, ...] -> [N, window, ...] centered windows, edges clamped.
+    """[N, ...] -> [N, window, ...] windows, edges clamped.
 
     Single-device equivalent of the reference's obtain_seq_index
     (inference_utils.py:73-76: indices clipped to the valid range).
     """
     n = x.shape[0]
-    half = window // 2
-    offsets = np.arange(-half, half + 1)
-    idx = np.clip(np.arange(n)[:, None] + offsets[None, :], 0, n - 1)
+    idx = np.clip(np.arange(n)[:, None] + window_offsets(window)[None, :], 0, n - 1)
     return x[idx]
 
 
@@ -106,8 +114,7 @@ def sharded_coeff_windows(coeffs, window: int, mesh: Mesh):
         full = jax.lax.all_gather(xs, DATA_AXIS, tiled=True)  # [N, C]
         n = full.shape[0]
         start = jax.lax.axis_index(DATA_AXIS) * n_local
-        half = window // 2
-        offsets = jnp.arange(-half, half + 1)
+        offsets = jnp.asarray(window_offsets(window))
         rows = start + jnp.arange(n_local)
         idx = jnp.clip(rows[:, None] + offsets[None, :], 0, n - 1)
         return full[idx]  # [n_local, window, C]

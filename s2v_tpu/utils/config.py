@@ -55,7 +55,8 @@ class ModelConfig:
     lnet_size: int = 96          # LNet generator resolution (ENet.py:104)
     dnet_size: int = 256         # DNet stabilization resolution (facing.py:86)
     num_style_feat: int = 512
-    coeff_window: int = 27       # 3DMM temporal context (inference_utils.py:73-91)
+    coeff_window: int = 26       # 3DMM temporal context: range(i-13, i+13),
+                                 # 26 frames (inference_utils.py:73-76)
     coeff_nc: int = 73           # 70 coeffs + 3 trans params fed to MappingNet
     dtype: str = "bfloat16"      # compute dtype on TPU
     param_dtype: str = "float32"
