@@ -1,0 +1,208 @@
+"""FAN 68-landmark network (reference: third_part/face_detection/models.py,
+used through the pip ``face_alignment`` package by face3d's
+KeypointExtractor and datagen's crop_faces).
+
+TPU-first redesign of the landmark path:
+- face crops are extracted as one batched affine grid-sample (the reference
+  crops with numpy + cv2.resize per frame, utils.py:85-130),
+- the 4-stack hourglass runs as one batched NHWC forward,
+- the heatmap -> coordinate decode (utils.py:132-163: argmax + 0.25 sign
+  refinement - 0.5, then inverse center/scale transform) is fully
+  vectorized — no per-landmark python loops.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from s2v_tpu.models.layers import BatchNorm2d, Conv
+from s2v_tpu.ops.image import avg_pool_2x2, resize_nearest
+from s2v_tpu.ops.warp import grid_sample_bilinear
+
+
+class ConvBlock(nn.Module):
+    """models.py:13-55: pre-activation 3-branch block with dense concat."""
+
+    out_planes: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_planes = x.shape[-1]
+        half = self.out_planes // 2
+        quarter = self.out_planes // 4
+
+        out1 = Conv(half, (3, 3), padding=(1, 1), use_bias=False, name="conv1")(
+            jax.nn.relu(BatchNorm2d(in_planes, name="bn1")(x, train))
+        )
+        out2 = Conv(quarter, (3, 3), padding=(1, 1), use_bias=False, name="conv2")(
+            jax.nn.relu(BatchNorm2d(half, name="bn2")(out1, train))
+        )
+        out3 = Conv(quarter, (3, 3), padding=(1, 1), use_bias=False, name="conv3")(
+            jax.nn.relu(BatchNorm2d(quarter, name="bn3")(out2, train))
+        )
+        out = jnp.concatenate([out1, out2, out3], axis=-1)
+        if in_planes != self.out_planes:
+            residual = Conv(self.out_planes, (1, 1), use_bias=False,
+                            name="downsample_conv")(
+                jax.nn.relu(BatchNorm2d(in_planes, name="downsample_bn")(x, train))
+            )
+        else:
+            residual = x
+        return out + residual
+
+
+class HourGlass(nn.Module):
+    """models.py:97-140: recursive 4-level hourglass, 256 features."""
+
+    depth: int = 4
+    features: int = 256
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        def level(inp, lvl):
+            up1 = ConvBlock(self.features, name=f"b1_{lvl}")(inp, train)
+            low1 = ConvBlock(self.features, name=f"b2_{lvl}")(
+                avg_pool_2x2(inp), train
+            )
+            if lvl > 1:
+                low2 = level(low1, lvl - 1)
+            else:
+                low2 = ConvBlock(self.features, name=f"b2_plus_{lvl}")(low1, train)
+            low3 = ConvBlock(self.features, name=f"b3_{lvl}")(low2, train)
+            b, h, w, c = low3.shape
+            return up1 + resize_nearest(low3, (2 * h, 2 * w))
+
+        return level(x, self.depth)
+
+
+class FAN(nn.Module):
+    """models.py:143-196. Input [B, 256, 256, 3] RGB in [0, 1]; returns the
+    final 64x64x68 heatmap stack (the reference uses outputs[-1])."""
+
+    num_modules: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(64, (7, 7), (2, 2), (3, 3), name="conv1")(x)
+        x = jax.nn.relu(BatchNorm2d(64, name="bn1")(x, train))
+        x = avg_pool_2x2(ConvBlock(128, name="conv2")(x, train))
+        x = ConvBlock(128, name="conv3")(x, train)
+        x = ConvBlock(256, name="conv4")(x, train)
+
+        previous = x
+        out = None
+        for i in range(self.num_modules):
+            hg = HourGlass(name=f"m{i}")(previous, train)
+            ll = ConvBlock(256, name=f"top_m_{i}")(hg, train)
+            ll = jax.nn.relu(
+                BatchNorm2d(256, name=f"bn_end{i}")(
+                    Conv(256, (1, 1), name=f"conv_last{i}")(ll), train
+                )
+            )
+            tmp_out = Conv(68, (1, 1), name=f"l{i}")(ll)
+            out = tmp_out
+            if i < self.num_modules - 1:
+                ll = Conv(256, (1, 1), name=f"bl{i}")(ll)
+                tmp_out_ = Conv(256, (1, 1), name=f"al{i}")(tmp_out)
+                previous = previous + ll + tmp_out_
+        return out  # [B, 64, 64, 68]
+
+
+# ---------------------------------------------------------------------------
+# crop + decode (utils.py transform/crop/get_preds_fromhm)
+# ---------------------------------------------------------------------------
+
+
+def box_to_center_scale(boxes: jnp.ndarray, reference_scale: float = 195.0):
+    """face_alignment convention: center shifted up 12% of box height,
+    scale = (w + h) / 195."""
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2.0 - (boxes[:, 3] - boxes[:, 1]) * 0.12
+    scale = (boxes[:, 2] - boxes[:, 0] + boxes[:, 3] - boxes[:, 1]) / reference_scale
+    return jnp.stack([cx, cy], axis=1), scale
+
+
+def _crop_bounds(center, scale, resolution: float = 256.0):
+    """utils.py crop(): ul = T^-1([1,1]), br = T^-1([res+1, res+1]) with
+    h = 200*scale (integer truncation like torch .int())."""
+    h = 200.0 * scale
+    def invt(px, py):
+        x = px * h / resolution + center[:, 0] - h / 2.0
+        y = py * h / resolution + center[:, 1] - h / 2.0
+        return jnp.stack([x, y], 1)
+    ul = invt(1.0, 1.0).astype(jnp.int32)
+    br = invt(resolution + 1.0, resolution + 1.0).astype(jnp.int32)
+    return ul, br
+
+
+def crop_faces_batched(images: jnp.ndarray, centers: jnp.ndarray,
+                       scales: jnp.ndarray, resolution: int = 256) -> jnp.ndarray:
+    """Batched FAN pre-crop: [B,H,W,3] uint8/float -> [B,res,res,3] in [0,1].
+
+    Equivalent to utils.py crop() (zero-pad + cv2.INTER_LINEAR resize),
+    expressed as one grid-sample per batch.
+    """
+    b, h, w, _ = images.shape
+    ul, br = _crop_bounds(centers, scales, float(resolution))
+    # cv2.resize samples at (j + 0.5) * src/dst - 0.5 within the crop
+    t = (jnp.arange(resolution) + 0.5) / resolution
+    sw = (br[:, 0] - ul[:, 0]).astype(jnp.float32)
+    sh = (br[:, 1] - ul[:, 1]).astype(jnp.float32)
+    sx = ul[:, 0, None].astype(jnp.float32) + t[None, :] * sw[:, None] - 0.5
+    sy = ul[:, 1, None].astype(jnp.float32) + t[None, :] * sh[:, None] - 0.5
+    gx = (2.0 * sx + 1.0) / w - 1.0  # index -> align_corners=False coords
+    gy = (2.0 * sy + 1.0) / h - 1.0
+    grid = jnp.stack(
+        [jnp.broadcast_to(gx[:, None, :], (b, resolution, resolution)),
+         jnp.broadcast_to(gy[:, :, None], (b, resolution, resolution))],
+        axis=-1,
+    )
+    out = grid_sample_bilinear(images.astype(jnp.float32), grid)
+    return out / 255.0
+
+
+def heatmaps_to_landmarks(hm: jnp.ndarray, centers: jnp.ndarray,
+                          scales: jnp.ndarray) -> jnp.ndarray:
+    """[B, 64, 64, 68] heatmaps -> [B, 68, 2] landmarks in image coords.
+
+    Vectorized get_preds_fromhm (utils.py:132-163): 1-indexed argmax, +-0.25
+    toward the larger neighbor (only strictly-interior peaks), -0.5, then the
+    inverse center/scale transform x_img = x_hm * h/64 + c - h/2 with
+    h = 200*scale (utils.py:56-96, invert=True).
+    """
+    b, hh, ww, n = hm.shape
+    hm_flat = hm.transpose(0, 3, 1, 2).reshape(b, n, hh * ww)
+    idx = jnp.argmax(hm_flat, axis=2)  # 0-indexed
+    px = (idx % ww).astype(jnp.float32)  # 0-indexed x
+    py = (idx // ww).astype(jnp.float32)
+
+    pxi = px.astype(jnp.int32)
+    pyi = py.astype(jnp.int32)
+    hmt = hm.transpose(0, 3, 1, 2)  # [B, 68, H, W]
+
+    def at(dy, dx):
+        yy = jnp.clip(pyi + dy, 0, hh - 1)
+        xx = jnp.clip(pxi + dx, 0, ww - 1)
+        flat = yy * ww + xx
+        return jnp.take_along_axis(hm_flat, flat[..., None], axis=2)[..., 0]
+
+    diff_x = at(0, 1) - at(0, -1)
+    diff_y = at(1, 0) - at(-1, 0)
+    interior = (pxi > 0) & (pxi < ww - 1) & (pyi > 0) & (pyi < hh - 1)
+    px = px + jnp.where(interior, jnp.sign(diff_x) * 0.25, 0.0)
+    py = py + jnp.where(interior, jnp.sign(diff_y) * 0.25, 0.0)
+
+    # reference: preds are 1-indexed, then -0.5 => 0-indexed + 0.5
+    px = px + 0.5
+    py = py + 0.5
+
+    h = 200.0 * scales
+    x_img = px * (h / hh)[:, None] + centers[:, 0:1] - (h / 2.0)[:, None]
+    y_img = py * (h / hh)[:, None] + centers[:, 1:2] - (h / 2.0)[:, None]
+    return jnp.stack([x_img, y_img], axis=-1)

@@ -70,27 +70,22 @@ def upfirdn2d_ref(x, kernel, up: int = 1, down: int = 1,
     )
 
 
-def _fir_down_kernel(xp_hbm, o_ref, scratch, sem, *, taps, down, tile_oh, w_out, c):
-    """One (batch, row-tile): DMA halo'd rows, accumulate FIR taps."""
-    b = pl.program_id(0)
-    t = pl.program_id(1)
+def _fir_down_kernel(x_ref, o_ref, *, taps, down, tile_oh, w_out, c):
+    """One (batch, row-tile): accumulate FIR taps over a halo'd row block.
+
+    x_ref block: [1, 1, bh, wp, c] (halo'd rows pre-gathered in XLA);
+    o_ref block: [1, tile_oh, w_out, c].
+    """
     kh = len(taps)
     kw = len(taps[0])
-    bh = tile_oh * down + kh - 1
-
-    dma = pltpu.make_async_copy(
-        xp_hbm.at[b, pl.ds(t * tile_oh * down, bh)], scratch, sem
-    )
-    dma.start()
-    dma.wait()
-
+    block = x_ref[0, 0]
     acc = jnp.zeros((tile_oh, w_out, c), jnp.float32)
     for i in range(kh):
         for j in range(kw):
             wij = taps[i][j]
             if wij == 0.0:
                 continue
-            rows = scratch[i : i + tile_oh * down, j : j + w_out * down, :]
+            rows = block[i : i + tile_oh * down, j : j + w_out * down, :]
             if down > 1:
                 rows = rows.reshape(tile_oh, down, w_out, down, c)[:, 0, :, 0, :]
             acc = acc + wij * rows.astype(jnp.float32)
@@ -107,20 +102,27 @@ def upfirdn2d_pallas(x, kernel, up: int = 1, down: int = 1,
     out_h = (hp - kh) // down + 1
     out_w = (wp - kw) // down + 1
 
-    # pick an output-row tile; pad Hp so every DMA slice is in bounds
-    tile_oh = 8
+    tile_oh = 16
     while tile_oh > 1 and out_h % tile_oh != 0:
         tile_oh //= 2
-    n_tiles = -(-out_h // tile_oh)
+    n_tiles = out_h // tile_oh
     bh = tile_oh * down + kh - 1
-    need_rows = (n_tiles - 1) * tile_oh * down + bh
     # width: the reshape-based stride-``down`` selection reads
     # [j : j + w_out*down] for j < kw, so pad to (kw-1) + w_out*down
     need_cols = (kw - 1) + out_w * down
+    need_rows = (n_tiles - 1) * tile_oh * down + bh
     pad_r = max(need_rows - hp, 0)
     pad_c = max(need_cols - wp, 0)
     if pad_r or pad_c:
         xp = jnp.pad(xp, ((0, 0), (0, pad_r), (0, pad_c), (0, 0)))
+        hp, wp = xp.shape[1], xp.shape[2]
+
+    # Pre-gather halo'd row tiles in XLA: [B, n_tiles, bh, wp, C]. The
+    # duplicated halo rows cost (kh-1)/(tile_oh*down) extra HBM traffic and
+    # buy fully static, non-overlapping BlockSpecs (no manual DMA).
+    starts = np.arange(n_tiles) * tile_oh * down
+    idx = starts[:, None] + np.arange(bh)[None, :]  # [n_tiles, bh]
+    xt = xp[:, idx]  # [B, n_tiles, bh, wp, C]
 
     # correlation uses the flipped kernel (matches reference conv2d(flip(k)))
     flipped = kernel[::-1, ::-1]
@@ -132,17 +134,18 @@ def upfirdn2d_pallas(x, kernel, up: int = 1, down: int = 1,
             tile_oh=tile_oh, w_out=out_w, c=c,
         ),
         grid=(b, n_tiles),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, bh, wp, c), lambda bi, ti: (bi, ti, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
         out_specs=pl.BlockSpec(
             (1, tile_oh, out_w, c), lambda bi, ti: (bi, ti, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, out_h, out_w, c), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((bh, xp.shape[2], c), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(xp)
+    )(xt)
     return out
 
 

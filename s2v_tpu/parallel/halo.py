@@ -122,19 +122,24 @@ def sharded_coeff_windows(coeffs, window: int, mesh: Mesh):
     return run(coeffs)
 
 
-def smooth_boxes(boxes: jnp.ndarray, window: int = 5) -> jnp.ndarray:
+def smooth_boxes(boxes: jnp.ndarray, window: int = 5,
+                 truncate: bool = False) -> jnp.ndarray:
     """Temporal box smoothing (inference_utils.py:101-108).
 
-    Reference semantics: for each i, average boxes[i : i + T] (forward-looking
-    window, truncated at the end => average of a *shorter* window near the
-    tail; at i > N-T it recenters to the last T boxes).
+    Reference semantics: forward-looking T-frame mean, recentered to the
+    last T boxes near the tail, applied IN PLACE on an int array — so tail
+    windows read already-smoothed earlier rows, and with ``truncate`` each
+    assignment truncates toward zero (int-array assignment).
     """
     n = boxes.shape[0]
-    out = []
+    cur = boxes
     for i in range(n):
         if i + window > n:
-            win = boxes[n - window:]
+            win = cur[n - window:]
         else:
-            win = boxes[i : i + window]
-        out.append(win.mean(axis=0))
-    return jnp.stack(out)
+            win = cur[i : i + window]
+        val = win.mean(axis=0)
+        if truncate:
+            val = jnp.trunc(val)
+        cur = cur.at[i].set(val)
+    return cur

@@ -369,3 +369,99 @@ def load_torch_checkpoint(path: str, key: Optional[str] = "state_dict",
             k = k[len("module."):]
         out[k] = t.detach().cpu().numpy()
     return out
+
+
+# --------------------------------------------------------------------------
+# S3FD face detector
+# --------------------------------------------------------------------------
+
+_S3FD_CONVS = [
+    "conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1", "conv3_2",
+    "conv3_3", "conv4_1", "conv4_2", "conv4_3", "conv5_1", "conv5_2",
+    "conv5_3", "fc6", "fc7", "conv6_1", "conv6_2", "conv7_1", "conv7_2",
+    "conv3_3_norm_mbox_conf", "conv3_3_norm_mbox_loc",
+    "conv4_3_norm_mbox_conf", "conv4_3_norm_mbox_loc",
+    "conv5_3_norm_mbox_conf", "conv5_3_norm_mbox_loc",
+    "fc7_mbox_conf", "fc7_mbox_loc", "conv6_2_mbox_conf", "conv6_2_mbox_loc",
+    "conv7_2_mbox_conf", "conv7_2_mbox_loc",
+]
+
+
+def convert_s3fd(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """S3FD checkpoint (net_s3fd.py layer names) -> flax variables."""
+    v = SDView(sd, prefix)
+    params: Dict = {}
+    for name in _S3FD_CONVS:
+        params[name] = v.conv(name)
+    for name in ("conv3_3_norm", "conv4_3_norm", "conv5_3_norm"):
+        params[name] = {"weight": v.get(f"{name}.weight")}
+    return {"params": params}
+
+
+# --------------------------------------------------------------------------
+# FAN landmark network
+# --------------------------------------------------------------------------
+
+def _fan_convblock(v: SDView) -> Dict:
+    out = {}
+    for i in (1, 2, 3):
+        bn_p, bn_s = v.bn(f"bn{i}")
+        out[f"bn{i}"] = bn_p
+        out[f"bn{i}__stats"] = bn_s
+        out[f"conv{i}"] = v.conv(f"conv{i}", bias=False)
+    if "downsample.0.weight" in v:
+        bn_p, bn_s = v.bn("downsample.0")
+        out["downsample_bn"] = bn_p
+        out["downsample_bn__stats"] = bn_s
+        out["downsample_conv"] = v.conv("downsample.2", bias=False)
+    return out
+
+
+def _split_stats(tree: Dict) -> Tuple[Dict, Dict]:
+    """Separate '<name>__stats' entries into a parallel batch_stats tree."""
+    params: Dict = {}
+    stats: Dict = {}
+    for k, val in tree.items():
+        if k.endswith("__stats"):
+            stats[k[: -len("__stats")]] = val
+        elif isinstance(val, dict):
+            p, s = _split_stats(val)
+            params[k] = p
+            if s:
+                stats[k] = s
+        else:
+            params[k] = val
+    return params, stats
+
+
+def convert_fan(sd: Dict[str, np.ndarray], num_modules: int = 4,
+                prefix: str = "") -> Dict:
+    """FAN checkpoint (face_detection/models.py names) -> flax variables."""
+    v = SDView(sd, prefix)
+    tree: Dict = {"conv1": v.conv("conv1")}
+    bn_p, bn_s = v.bn("bn1")
+    tree["bn1"] = bn_p
+    tree["bn1__stats"] = bn_s
+    for name in ("conv2", "conv3", "conv4"):
+        tree[name] = _fan_convblock(v.sub(name))
+
+    for i in range(num_modules):
+        hg: Dict = {}
+        for lvl in range(1, 5):
+            hg[f"b1_{lvl}"] = _fan_convblock(v.sub(f"m{i}.b1_{lvl}"))
+            hg[f"b2_{lvl}"] = _fan_convblock(v.sub(f"m{i}.b2_{lvl}"))
+            hg[f"b3_{lvl}"] = _fan_convblock(v.sub(f"m{i}.b3_{lvl}"))
+        hg["b2_plus_1"] = _fan_convblock(v.sub(f"m{i}.b2_plus_1"))
+        tree[f"m{i}"] = hg
+        tree[f"top_m_{i}"] = _fan_convblock(v.sub(f"top_m_{i}"))
+        tree[f"conv_last{i}"] = v.conv(f"conv_last{i}")
+        bn_p, bn_s = v.bn(f"bn_end{i}")
+        tree[f"bn_end{i}"] = bn_p
+        tree[f"bn_end{i}__stats"] = bn_s
+        tree[f"l{i}"] = v.conv(f"l{i}")
+        if i < num_modules - 1:
+            tree[f"bl{i}"] = v.conv(f"bl{i}")
+            tree[f"al{i}"] = v.conv(f"al{i}")
+
+    params, stats = _split_stats(tree)
+    return {"params": params, "batch_stats": stats}

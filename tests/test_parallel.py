@@ -121,19 +121,18 @@ def test_sharded_coeff_windows_matches_single_device():
 
 
 def test_smooth_boxes_matches_reference():
-    """get_smoothened_boxes (inference_utils.py:101-108)."""
+    """get_smoothened_boxes (inference_utils.py:101-108) — which operates
+    IN PLACE, so tail windows read already-smoothed rows."""
     boxes = RNG.rand(11, 4).astype(np.float32) * 100
 
-    # reference loop
-    want = []
+    want = boxes.copy()
     T = 5
-    for i in range(len(boxes)):
-        if i + T > len(boxes):
-            window = boxes[len(boxes) - T :]
+    for i in range(len(want)):
+        if i + T > len(want):
+            window = want[len(want) - T :]
         else:
-            window = boxes[i : i + T]
-        want.append(np.mean(window, axis=0))
-    want = np.stack(want)
+            window = want[i : i + T]
+        want[i] = np.mean(window, axis=0)
 
     got = np.asarray(smooth_boxes(jnp.asarray(boxes), 5))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
