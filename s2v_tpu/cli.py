@@ -1,0 +1,112 @@
+"""Command-line entry (reference CLI: python3 inference.py --face --audio
+--outfile, flags from futils/inference_utils.py:16-51).
+
+    python -m s2v_tpu.cli infer --face clip.mp4 --audio speech.wav \
+        --outfile results/out.mp4 --checkpoint_dir checkpoints
+
+Checkpoints are the reference's torch files (DNet.pt, LNet.pth, ENet.pth,
+face3d_pretrain_epoch_20.pth, s3fd.pth, FAN 2DFAN-4 and the BFM folder),
+converted on load by s2v_tpu.utils.weights.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def load_models(checkpoint_dir: str):
+    import jax
+
+    from s2v_tpu.pipeline.inference import PipelineModels
+    from s2v_tpu.utils import weights as W
+
+    def maybe(path):
+        full = os.path.join(checkpoint_dir, path)
+        return full if os.path.isfile(full) else None
+
+    def as_vars(tree):
+        return jax.tree_util.tree_map(np.asarray, tree)
+
+    models = PipelineModels()
+    if maybe("s3fd.pth"):
+        models.s3fd = as_vars(
+            W.convert_s3fd(W.load_torch_checkpoint(maybe("s3fd.pth"), key=None))
+        )
+    fan_path = maybe("2DFAN4-cd938726ad.zip") or maybe("2DFAN4.pth")
+    if fan_path:
+        models.fan = as_vars(
+            W.convert_fan(W.load_torch_checkpoint(fan_path, key=None))
+        )
+    if maybe("face3d_pretrain_epoch_20.pth"):
+        models.recon = as_vars(
+            W.convert_recon_net(
+                W.load_torch_checkpoint(
+                    maybe("face3d_pretrain_epoch_20.pth"), key="net_recon"
+                )
+            )
+        )
+    if maybe("DNet.pt"):
+        models.dnet = as_vars(
+            W.convert_dnet(W.load_torch_checkpoint(maybe("DNet.pt"), key="net_G_ema"))
+        )
+    if maybe("ENet.pth") and maybe("LNet.pth"):
+        enet_sd = W.load_torch_checkpoint(maybe("ENet.pth"))
+        lnet_sd = W.load_torch_checkpoint(maybe("LNet.pth"))
+        models.enet = as_vars(W.convert_enet(enet_sd, lnet_sd))
+    bfm = os.path.join(checkpoint_dir, "BFM")
+    if os.path.isdir(bfm):
+        from s2v_tpu.pipeline.face3d_prep import load_lm3d
+
+        models.lm3d = load_lm3d(bfm)
+    expr_mat = maybe("expression.mat")
+    if expr_mat:
+        from scipy.io import loadmat
+
+        mat = loadmat(expr_mat)
+        models.expression = np.asarray(mat["expression_center"][0], np.float32)
+    return models
+
+
+def main(argv=None):
+    from s2v_tpu.utils.config import from_cli
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+    command = argv.pop(0) if argv and not argv[0].startswith("--") else "infer"
+    cfg = from_cli([a.replace("--face ", "--infer.face ") for a in argv])
+    # map reference-style flags onto the config tree
+    remap = {}
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--") and "." not in a:
+            key = a[2:]
+            if key in ("face", "audio", "outfile", "exp_img", "up_face", "fps",
+                       "static", "one_shot", "tmp_dir", "re_preprocess",
+                       "checkpoint_dir", "cropped_image", "nosmooth"):
+                val = argv[i + 1] if i + 1 < len(argv) and not argv[i + 1].startswith("--") else "true"
+                remap[f"infer.{key}"] = val
+        i += 1
+    from s2v_tpu.utils.config import override
+
+    cfg = override(cfg, remap)
+
+    if command == "infer":
+        from s2v_tpu.pipeline.inference import LipSyncPipeline
+
+        models = load_models(cfg.infer.checkpoint_dir)
+        pipe = LipSyncPipeline(cfg, models)
+        out = pipe.run(cfg.infer.face, cfg.infer.audio, cfg.infer.outfile)
+        print("outfile:", out)
+    elif command == "bench":
+        import bench
+
+        bench.main()
+    else:
+        raise SystemExit(f"unknown command {command!r}; use infer")
+
+
+if __name__ == "__main__":
+    main()

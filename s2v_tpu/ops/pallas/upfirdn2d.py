@@ -73,21 +73,36 @@ def upfirdn2d_ref(x, kernel, up: int = 1, down: int = 1,
 def _fir_down_kernel(x_ref, o_ref, *, taps, down, tile_oh, w_out, c):
     """One (batch, row-tile): accumulate FIR taps over a halo'd row block.
 
-    x_ref block: [1, 1, bh, wp, c] (halo'd rows pre-gathered in XLA);
-    o_ref block: [1, tile_oh, w_out, c].
+    x_ref block: [1, 1, bh_pad, wp_pad, c] (halo'd rows pre-gathered in XLA,
+    padded to multiples of ``down``); o_ref block: [1, tile_oh, w_out, c].
+
+    VMEM discipline: materialize the down x down phase views ONCE (each is
+    1/down^2 of the block), then every tap is a small static slice of its
+    phase — peak live intermediates stay ~2 output tiles instead of
+    kh*kw halo'd slices.
     """
     kh = len(taps)
     kw = len(taps[0])
     block = x_ref[0, 0]
+    bh_pad, wp_pad, _ = block.shape
+
+    if down == 1:
+        phases = [[block]]
+    else:
+        grid = block.reshape(bh_pad // down, down, wp_pad // down, down, c)
+        phases = [
+            [grid[:, p, :, q, :] for q in range(down)] for p in range(down)
+        ]
+
     acc = jnp.zeros((tile_oh, w_out, c), jnp.float32)
     for i in range(kh):
         for j in range(kw):
             wij = taps[i][j]
             if wij == 0.0:
                 continue
-            rows = block[i : i + tile_oh * down, j : j + w_out * down, :]
-            if down > 1:
-                rows = rows.reshape(tile_oh, down, w_out, down, c)[:, 0, :, 0, :]
+            view = phases[i % down][j % down]
+            r0, c0 = i // down, j // down
+            rows = view[r0 : r0 + tile_oh, c0 : c0 + w_out, :]
             acc = acc + wij * rows.astype(jnp.float32)
     o_ref[0] = acc.astype(o_ref.dtype)
 
@@ -106,16 +121,18 @@ def upfirdn2d_pallas(x, kernel, up: int = 1, down: int = 1,
     while tile_oh > 1 and out_h % tile_oh != 0:
         tile_oh //= 2
     n_tiles = out_h // tile_oh
+    # block height/width padded to multiples of ``down`` for the phase views
     bh = tile_oh * down + kh - 1
-    # width: the reshape-based stride-``down`` selection reads
-    # [j : j + w_out*down] for j < kw, so pad to (kw-1) + w_out*down
+    bh = -(-bh // down) * down
     need_cols = (kw - 1) + out_w * down
+    need_cols = -(-need_cols // down) * down
     need_rows = (n_tiles - 1) * tile_oh * down + bh
     pad_r = max(need_rows - hp, 0)
     pad_c = max(need_cols - wp, 0)
     if pad_r or pad_c:
         xp = jnp.pad(xp, ((0, 0), (0, pad_r), (0, pad_c), (0, 0)))
-        hp, wp = xp.shape[1], xp.shape[2]
+    xp = xp[:, :, :need_cols]  # unused tail columns only
+    wp = xp.shape[2]
 
     # Pre-gather halo'd row tiles in XLA: [B, n_tiles, bh, wp, C]. The
     # duplicated halo rows cost (kh-1)/(tile_oh*down) extra HBM traffic and

@@ -1,0 +1,491 @@
+"""End-to-end lip-sync pipeline (reference: inference.py main() +
+preprocessing/facing.py Preprocessor).
+
+TPU-first restructuring: the reference pushes one frame at a time through
+seven torch model suites with host round-trips at every step. Here each
+stage is a *batched jitted program over the whole clip* (or fixed-size frame
+batches), and the host only does: video/audio IO, PIL-exact 3DMM alignment
+(cheap geometry), and ffmpeg muxing.
+
+Stage map (reference banners):
+  Step 0  read frames                         -> io.video_io
+  Step 1  FFHQ crop + 68 landmarks            -> S3FD + FAN, batched
+  Step 2  3DMM coefficients                   -> align_img + ReconNet, batched
+  Step 3  DNet stabilization (256^2)          -> batched DNet forward
+  Step 4  mel spectrogram + per-frame chunks  -> audio.melspec
+  Step 5  reference enhancement (GPEN)        -> pluggable enhancer hook
+  Step 6  LNet/ENet synthesis + paste-back    -> batched ENet forward
+          (+ GFPGAN mouth restoration / Laplacian blending when a restorer
+          hook is configured)
+
+Model weights are supplied as converted flax variables
+(s2v_tpu.utils.weights); any stage whose weights are absent degrades
+explicitly (landmarks can be supplied precomputed, enhancement hooks default
+to identity).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from s2v_tpu.audio import mel_chunks_for_frames, melspectrogram
+from s2v_tpu.audio.melspec import num_mel_chunks
+from s2v_tpu.io.audio_io import load_wav
+from s2v_tpu.io.video_io import VideoReader, VideoWriter, mux_audio
+from s2v_tpu.models import DNet, ENet
+from s2v_tpu.models.fan import (
+    FAN,
+    box_to_center_scale,
+    crop_faces_batched,
+    heatmaps_to_landmarks,
+)
+from s2v_tpu.models.resnet import ReconNet
+from s2v_tpu.models.s3fd import BGR_MEAN, S3FD, best_boxes, pad_and_smooth_boxes
+from s2v_tpu.ops.image import resize_bilinear
+from s2v_tpu.pipeline.align import (
+    calc_alignment_coefficients,
+    compute_transform,
+    crop_quad_params,
+    ffhq_crop_box,
+    perspective_sample_grid,
+    quad_from_cxy,
+    quad_sample_grid,
+    warp_by_grid,
+)
+from s2v_tpu.pipeline.face3d_prep import align_img
+from s2v_tpu.pipeline.utils import find_crop_norm_ratio, split_coeff, transform_semantic
+from s2v_tpu.utils.config import PipelineConfig
+
+
+@dataclass
+class PipelineModels:
+    """Converted flax variables per model; None disables the stage."""
+
+    s3fd: Optional[Dict] = None
+    fan: Optional[Dict] = None
+    recon: Optional[Dict] = None
+    dnet: Optional[Dict] = None
+    enet: Optional[Dict] = None       # full ENet tree including low_res (LNet)
+    lm3d: Optional[np.ndarray] = None  # [5, 3] standard landmarks
+    expression: Optional[np.ndarray] = None  # [64] template coeffs
+    # hooks for the restoration stack (GPEN / GFPGAN); identity by default
+    ref_enhancer: Optional[Callable] = None
+    final_enhancer: Optional[Callable] = None
+    mouth_restorer: Optional[Callable] = None
+
+
+class LipSyncPipeline:
+    def __init__(self, cfg: PipelineConfig, models: PipelineModels):
+        self.cfg = cfg
+        self.models = models
+        self._jits: Dict[str, Callable] = {}
+
+    # ------------------------------------------------------------------
+    # Step 1: detection + landmarks (batched)
+    # ------------------------------------------------------------------
+
+    def _detect_fn(self):
+        if "detect" not in self._jits:
+            model = S3FD()
+
+            @jax.jit
+            def run(variables, frames_rgb):  # [B,H,W,3] float RGB 0..255
+                bgr = frames_rgb[..., ::-1] - jnp.asarray(BGR_MEAN)
+                outs = model.apply(variables, bgr)
+                return best_boxes(outs)
+
+            self._jits["detect"] = run
+        return self._jits["detect"]
+
+    def _fan_fn(self):
+        if "fan" not in self._jits:
+            model = FAN()
+
+            @jax.jit
+            def run(variables, frames_rgb, boxes):  # frames 0..255
+                centers, scales = box_to_center_scale(boxes)
+                crops = crop_faces_batched(frames_rgb, centers, scales)
+                hm = model.apply(variables, crops)
+                return heatmaps_to_landmarks(hm, centers, scales)
+
+            self._jits["fan"] = run
+        return self._jits["fan"]
+
+    def detect_boxes(self, frames_rgb: np.ndarray, batch: int = 8) -> np.ndarray:
+        """[N,H,W,3] uint8 RGB -> [N,4] best face boxes (float, unclipped)."""
+        run = self._detect_fn()
+        out, valid = [], []
+        x = frames_rgb.astype(np.float32)
+        for i in range(0, len(x), batch):
+            chunk = x[i : i + batch]
+            pad = batch - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            b, v = run(self.models.s3fd, jnp.asarray(chunk))
+            out.append(np.asarray(b)[: batch - pad])
+            valid.append(np.asarray(v)[: batch - pad])
+        boxes = np.concatenate(out)
+        ok = np.concatenate(valid)
+        if not ok.all():
+            # reference raises on undetected faces (inference_utils.py:132-134)
+            bad = int(np.argmin(ok))
+            raise ValueError(
+                f"Face not detected in frame {bad}! Ensure the video contains "
+                "a face in all the frames."
+            )
+        return boxes
+
+    def extract_landmarks(self, frames_rgb: np.ndarray, batch: int = 8) -> np.ndarray:
+        """[N,H,W,3] uint8 RGB -> [N,68,2] landmarks (KeypointExtractor
+        equivalent: S3FD box -> FAN heatmaps -> coords)."""
+        boxes = self.detect_boxes(frames_rgb, batch)
+        run = self._fan_fn()
+        out = []
+        x = frames_rgb.astype(np.float32)
+        for i in range(0, len(x), batch):
+            chunk = x[i : i + batch]
+            bchunk = boxes[i : i + batch]
+            pad = batch - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+                bchunk = np.concatenate([bchunk, np.repeat(bchunk[-1:], pad, 0)])
+            lm = run(self.models.fan, jnp.asarray(chunk), jnp.asarray(bchunk))
+            out.append(np.asarray(lm)[: batch - pad])
+        return np.concatenate(out)
+
+    def ffhq_crop(self, frames_rgb: np.ndarray, first_lm: np.ndarray):
+        """Step 1 crop (facing.py:74-86): first-frame FFHQ quad applied to
+        all frames; returns (frames_256 [N,256,256,3] uint8, coordinates)."""
+        h, w = frames_rgb.shape[1:3]
+        crop, quad = ffhq_crop_box(first_lm.astype(np.float64), (w, h), 512)
+        clx, cly, crx, cry = crop
+        lx, ly, rx, ry = [int(v) for v in quad]
+        oy1 = cly + ly
+        oy2 = min(cly + ry, h)
+        ox1 = clx + lx
+        ox2 = min(clx + rx, w)
+        cropped = frames_rgb[:, cly:cry, clx:crx][:, ly:ry, lx:rx]
+        frames_256 = np.asarray(
+            resize_bilinear(jnp.asarray(cropped.astype(np.float32)), (256, 256))
+        )
+        return np.clip(frames_256, 0, 255).astype(np.uint8), (oy1, oy2, ox1, ox2)
+
+    # ------------------------------------------------------------------
+    # Step 2: 3DMM coefficients
+    # ------------------------------------------------------------------
+
+    def extract_coeffs(self, frames_256: np.ndarray, lm: np.ndarray,
+                       batch: int = 16) -> np.ndarray:
+        """facing.py:99-134: align to 224^2, ReconNet -> [N, 262] semantic
+        (257 coeffs + 5 trans params). Alignment is host PIL (exact);
+        the regressor forward is batched on device."""
+        from PIL import Image
+
+        lm3d = self.models.lm3d
+        n = len(frames_256)
+        aligned = np.zeros((n, 224, 224, 3), np.float32)
+        trans_params = np.zeros((n, 5), np.float32)
+        h = frames_256.shape[1]
+        for i in range(n):
+            lm_i = lm[i].copy()
+            if np.mean(lm_i) == -1:  # no-face sentinel (facing.py:112-114)
+                lm_i = (lm3d[:, :2] + 1) / 2.0
+                lm_i = np.concatenate(
+                    [lm_i[:, :1] * frames_256.shape[2], lm_i[:, 1:2] * h], 1
+                )
+            else:
+                lm_i[:, -1] = h - 1 - lm_i[:, -1]
+            tp, img_new, _ = align_img(
+                Image.fromarray(frames_256[i]), lm_i, lm3d
+            )
+            aligned[i] = np.asarray(img_new, np.float32) / 255.0
+            trans_params[i] = tp
+
+        if "recon" not in self._jits:
+            model = ReconNet()
+            self._jits["recon"] = jax.jit(
+                lambda v, x: model.apply(v, x)
+            )
+        run = self._jits["recon"]
+        coeffs = []
+        for i in range(0, n, batch):
+            chunk = aligned[i : i + batch]
+            pad = batch - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            out = run(self.models.recon, jnp.asarray(chunk))
+            coeffs.append(np.asarray(out)[: batch - pad])
+        coeffs = np.concatenate(coeffs)  # [N, 257]
+        return np.concatenate([coeffs, trans_params], axis=1)  # [N, 262]
+
+    # ------------------------------------------------------------------
+    # Step 3: DNet stabilization
+    # ------------------------------------------------------------------
+
+    def stabilize(self, frames_256: np.ndarray, semantic: np.ndarray,
+                  batch: int = 8, one_shot: bool = False) -> np.ndarray:
+        """facing.py:135-198: per-frame coeff window, expression hack,
+        DNet -> stabilized 256^2 frames (uint8 RGB)."""
+        n = len(frames_256)
+        expression = self.models.expression
+        sem = jnp.asarray(semantic)
+
+        src_idx = 0 if one_shot else None
+        ratio = find_crop_norm_ratio(
+            sem[src_idx : src_idx + 1] if one_shot else sem[0:1], sem
+        )
+        # per-frame ratio (facing.py:183 recomputes per frame from its own
+        # source coeff; non-one-shot source == frame itself)
+        if not one_shot:
+            ratios = []
+            for i in range(n):
+                ratios.append(find_crop_norm_ratio(sem[i : i + 1], sem))
+            ratio = jnp.stack(ratios).reshape(-1)
+
+        coeff = transform_semantic(sem, ratio)  # [N, 73, 26]
+        coeff = coeff.at[:, :64, :].set(
+            jnp.asarray(expression, jnp.float32)[None, :, None]
+        )
+
+        if "dnet" not in self._jits:
+            model = DNet()
+            self._jits["dnet"] = jax.jit(
+                lambda v, img, c: model.apply(v, img, c)["fake_image"]
+            )
+        run = self._jits["dnet"]
+
+        src = frames_256.astype(np.float32) / 255.0 * 2.0 - 1.0  # trans_image
+        if one_shot:
+            src = np.repeat(src[0:1], n, axis=0)
+        out = np.zeros_like(frames_256)
+        for i in range(0, n, batch):
+            chunk = src[i : i + batch]
+            cchunk = coeff[i : i + batch]
+            pad = batch - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+                cchunk = jnp.concatenate(
+                    [cchunk, jnp.repeat(cchunk[-1:], pad, 0)]
+                )
+            fake = run(
+                self.models.dnet, jnp.asarray(chunk),
+                jnp.transpose(cchunk, (0, 2, 1)),
+            )
+            fake = np.asarray(fake)[: batch - pad]
+            out[i : i + batch] = np.clip((fake + 1) / 2 * 255, 0, 255).astype(np.uint8)
+        return out
+
+    # ------------------------------------------------------------------
+    # Step 6: synthesis
+    # ------------------------------------------------------------------
+
+    def _enet_fn(self):
+        if "enet" not in self._jits:
+            model = ENet()
+
+            @jax.jit
+            def run(variables, mel, face, ref):
+                pred, low = model.apply(variables, mel, face, ref)
+                return jnp.clip(pred, 0.0, 1.0)
+
+            self._jits["enet"] = run
+        return self._jits["enet"]
+
+    def build_reference_faces(self, stabilized: np.ndarray,
+                              full_frames: np.ndarray,
+                              coordinates, boxes: np.ndarray) -> np.ndarray:
+        """datagen's reference construction (inference.py:341-367):
+        re-align each stabilized 256^2 face, paste into the full frame via
+        the inverse perspective transform, then cut the detector box."""
+        n = len(stabilized)
+        oy1, oy2, ox1, ox2 = [int(v) for v in coordinates]
+        lms = self.extract_landmarks(stabilized)
+        image_size = 256
+
+        refs = []
+        square = [[0, 0], [0, image_size], [image_size, image_size], [image_size, 0]]
+        for i in range(n):
+            c, x, y = compute_transform(lms[i].astype(np.float64), scale=1.0)
+            quad = quad_from_cxy(c, x, y)
+            crop_box, quad_adj = crop_quad_params(
+                quad, (image_size, image_size), image_size
+            )
+            # crop the stabilized frame region then QUAD-resample to 256^2
+            sub = stabilized[i][crop_box[1]:crop_box[3], crop_box[0]:crop_box[2]]
+            grid = quad_sample_grid(quad_adj, image_size, sub.shape[:2])
+            crop_img = np.asarray(
+                warp_by_grid(jnp.asarray(sub[None].astype(np.float32)),
+                             jnp.asarray(grid))
+            )[0]
+
+            # inverse transform back onto the (resized) original region
+            inv = calc_alignment_coefficients(
+                (quad_adj + np.asarray(crop_box[:2])) - 0.0, square
+            )
+            region = full_frames[i, oy1:oy2, ox1:ox2]
+            region_256 = np.asarray(
+                resize_bilinear(
+                    jnp.asarray(region[None].astype(np.float32)), (256, 256)
+                )
+            )[0]
+            pgrid = perspective_sample_grid(inv, (256, 256), (image_size, image_size))
+            projected = np.asarray(
+                warp_by_grid(jnp.asarray(crop_img[None]), jnp.asarray(pgrid))
+            )[0]
+            mask = np.asarray(
+                warp_by_grid(
+                    jnp.ones((1, image_size, image_size, 1), jnp.float32),
+                    jnp.asarray(pgrid),
+                )
+            )[0]
+            pasted = projected * mask + region_256 * (1 - mask)
+
+            ff = full_frames[i].astype(np.float32).copy()
+            back = np.asarray(
+                resize_bilinear(jnp.asarray(pasted[None]), (oy2 - oy1, ox2 - ox1))
+            )[0]
+            ff[oy1:oy2, ox1:ox2] = back
+            x1, y1, x2, y2 = [int(v) for v in boxes[i]]
+            refs.append(np.clip(ff[y1:y2, x1:x2], 0, 255))
+        return refs
+
+    def synthesize(
+        self,
+        stabilized: np.ndarray,       # Step-5-enhanced 256^2 frames
+        mel: jnp.ndarray,             # [80, T]
+        full_frames: np.ndarray,      # original frames
+        coordinates,                  # (oy1, oy2, ox1, ox2)
+        fps: float,
+        static: bool = False,
+    ) -> np.ndarray:
+        """Step 6 (inference.py:259-330, restoration hooks optional)."""
+        cfg = self.cfg
+        img_size = cfg.model.img_size
+        n_chunks = num_mel_chunks(mel.shape[1], fps)
+        n_frames = min(len(stabilized), n_chunks)
+        stabilized = stabilized[:n_frames]
+        full_frames_t = full_frames[:n_frames]
+        chunks = np.asarray(mel_chunks_for_frames(mel, n_chunks, fps))
+
+        boxes = self.detect_boxes(full_frames_t)
+        boxes = np.asarray(
+            pad_and_smooth_boxes(
+                jnp.asarray(boxes), full_frames_t.shape[1:3],
+                pads=cfg.infer.pads, smooth=not cfg.infer.nosmooth,
+            )
+        ).astype(np.int32)
+
+        refs = self.build_reference_faces(
+            stabilized, full_frames_t, coordinates, boxes
+        )
+
+        # frame index for each mel chunk: ping-pong past the end
+        # (inference.py:369-377 mirrors once; generalized to a periodic
+        # reflection so clips much shorter than the audio stay valid)
+        def frame_index(i):
+            if static or n_frames == 1:
+                return 0
+            period = 2 * n_frames - 2
+            j = i % period
+            return j if j < n_frames else period - j
+
+        run = self._enet_fn()
+        batch = cfg.infer.lnet_batch_size
+        out_frames = []
+        for start in range(0, n_chunks, batch):
+            idxs = [frame_index(i) for i in range(start, min(start + batch, n_chunks))]
+            face_batch, ref_batch, mel_batch = [], [], []
+            for i in idxs:
+                x1, y1, x2, y2 = boxes[i]
+                oface = full_frames_t[i, y1:y2, x1:x2]
+                oface = np.asarray(
+                    resize_bilinear(
+                        jnp.asarray(oface[None].astype(np.float32)),
+                        (img_size, img_size),
+                    )
+                )[0]
+                ref = np.asarray(
+                    resize_bilinear(
+                        jnp.asarray(refs[i][None].astype(np.float32)),
+                        (img_size, img_size),
+                    )
+                )[0]
+                masked = oface.copy()
+                masked[img_size // 2 :] = 0  # lower-half mask (inference.py:397)
+                face_batch.append(np.concatenate([masked, ref], axis=-1) / 255.0)
+                ref_batch.append(ref / 255.0)
+                mel_batch.append(chunks[i])
+            pad = batch - len(idxs)
+            if pad:
+                face_batch += [face_batch[-1]] * pad
+                ref_batch += [ref_batch[-1]] * pad
+                mel_batch = list(mel_batch) + [mel_batch[-1]] * pad
+            pred = run(
+                self.models.enet,
+                jnp.asarray(np.stack(mel_batch))[..., None],
+                jnp.asarray(np.stack(face_batch)),
+                jnp.asarray(np.stack(ref_batch)),
+            )
+            pred = np.asarray(pred)[: len(idxs)] * 255.0
+
+            for k, i in enumerate(idxs):
+                x1, y1, x2, y2 = boxes[i]
+                p = np.asarray(
+                    resize_bilinear(jnp.asarray(pred[k : k + 1]), (y2 - y1, x2 - x1))
+                )[0]
+                ff = full_frames_t[i].astype(np.float32).copy()
+                ff[y1:y2, x1:x2] = p
+                if self.models.mouth_restorer is not None:
+                    ff = self.models.mouth_restorer(ff, (y1, y2, x1, x2))
+                if self.models.final_enhancer is not None:
+                    ff = self.models.final_enhancer(ff)
+                out_frames.append(np.clip(ff, 0, 255).astype(np.uint8))
+        return np.stack(out_frames)
+
+    # ------------------------------------------------------------------
+    # Full run
+    # ------------------------------------------------------------------
+
+    def run(self, face_path: str, audio_path: str, outfile: str) -> str:
+        cfg = self.cfg
+        reader = VideoReader(face_path)
+        frames = reader.read_all()
+        fps = reader.fps or cfg.infer.fps
+
+        lm = self.extract_landmarks(frames)
+        frames_256, coordinates = self.ffhq_crop(frames, lm[0])
+        lm_256 = self.extract_landmarks(frames_256)
+        semantic = self.extract_coeffs(frames_256, lm_256)
+        stabilized = self.stabilize(frames_256, semantic,
+                                    one_shot=cfg.infer.one_shot)
+        if self.models.ref_enhancer is not None:
+            stabilized = np.stack(
+                [self.models.ref_enhancer(f) for f in stabilized]
+            )
+
+        wav = load_wav(audio_path, cfg.audio.sample_rate)
+        mel = melspectrogram(jnp.asarray(wav), cfg.audio)
+        if not bool(jnp.isfinite(mel).all()):
+            raise ValueError(
+                "Mel contains nan! Using a TTS voice? Add a small epsilon "
+                "noise to the wav file and try again"
+            )
+
+        out = self.synthesize(stabilized, mel, frames, coordinates, fps,
+                              static=cfg.infer.static)
+
+        tmp_video = os.path.join(cfg.infer.tmp_dir, "result.npz")
+        os.makedirs(cfg.infer.tmp_dir, exist_ok=True)
+        writer = VideoWriter(tmp_video, fps, out.shape[1:3])
+        for f in out:
+            writer.write(f)
+        writer.close()
+        return mux_audio(writer.path, audio_path, outfile)

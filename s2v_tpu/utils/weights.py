@@ -465,3 +465,44 @@ def convert_fan(sd: Dict[str, np.ndarray], num_modules: int = 4,
 
     params, stats = _split_stats(tree)
     return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# ReconNet (Deep3DFaceRecon ResNet50 -> 257 coeffs)
+# --------------------------------------------------------------------------
+
+def _bottleneck(v: SDView) -> Dict:
+    out: Dict = {}
+    for i in (1, 2, 3):
+        out[f"conv{i}"] = v.conv(f"conv{i}", bias=False)
+        bn_p, bn_s = v.bn(f"bn{i}")
+        out[f"bn{i}"] = bn_p
+        out[f"bn{i}__stats"] = bn_s
+    if "downsample.0.weight" in v:
+        out["downsample_conv"] = v.conv("downsample.0", bias=False)
+        bn_p, bn_s = v.bn("downsample.1")
+        out["downsample_bn"] = bn_p
+        out["downsample_bn__stats"] = bn_s
+    return out
+
+
+def convert_recon_net(sd: Dict[str, np.ndarray], prefix: str = "",
+                      layers=(3, 4, 6, 3)) -> Dict:
+    """Deep3DFaceRecon checkpoint ('net_recon' key: backbone.* +
+    final_layers.*, networks.py:69-104) -> flax variables."""
+    v = SDView(sd, prefix)
+    bb = v.sub("backbone")
+    tree: Dict = {"conv1": bb.conv("conv1", bias=False)}
+    bn_p, bn_s = bb.bn("bn1")
+    tree["bn1"] = bn_p
+    tree["bn1__stats"] = bn_s
+    for stage, n in enumerate(layers):
+        for b in range(n):
+            tree[f"layer{stage + 1}_{b}"] = _bottleneck(
+                bb.sub(f"layer{stage + 1}.{b}")
+            )
+    backbone_p, backbone_s = _split_stats(tree)
+    params: Dict = {"backbone": backbone_p}
+    for i in range(7):
+        params[f"head{i}"] = v.conv(f"final_layers.{i}")
+    return {"params": params, "batch_stats": {"backbone": backbone_s}}

@@ -1,0 +1,142 @@
+"""End-to-end pipeline integration test on a synthetic clip with
+randomly-initialized models. Detection/landmarks are injected (random
+detector weights can't find synthetic faces); everything downstream —
+FFHQ crop, 3DMM alignment + ReconNet, coeff windows + DNet stabilization,
+mel frontend, datagen-equivalent reference construction, ENet synthesis,
+paste-back, video writing — runs for real.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2v_tpu.models import DNet, ENet
+from s2v_tpu.models.resnet import ReconNet
+from s2v_tpu.pipeline.inference import LipSyncPipeline, PipelineModels
+from s2v_tpu.utils.config import PipelineConfig, override
+
+RNG = np.random.RandomState(77)
+N_FRAMES = 6
+H, W = 160, 144
+
+
+def synthetic_landmarks(n, h, w):
+    """Plausible 68-point face landmarks centered in the frame."""
+    lm = np.zeros((n, 68, 2), np.float32)
+    cx, cy, s = w / 2, h / 2, min(h, w) * 0.25
+    # chin arc 0-16
+    t = np.linspace(-np.pi / 2, np.pi / 2, 17)
+    lm[:, 0:17, 0] = cx + np.sin(t) * s
+    lm[:, 0:17, 1] = cy + np.cos(t) * s * 1.1
+    # brows 17-26
+    lm[:, 17:22, 0] = cx - s * 0.6 + np.arange(5) * s * 0.2
+    lm[:, 17:22, 1] = cy - s * 0.5
+    lm[:, 22:27, 0] = cx + s * 0.1 + np.arange(5) * s * 0.15
+    lm[:, 22:27, 1] = cy - s * 0.5
+    # nose 27-35
+    lm[:, 27:31, 0] = cx
+    lm[:, 27:31, 1] = cy - s * 0.3 + np.arange(4) * s * 0.15
+    lm[:, 31:36, 0] = cx - s * 0.2 + np.arange(5) * s * 0.1
+    lm[:, 31:36, 1] = cy + s * 0.15
+    # eyes 36-47
+    lm[:, 36:42, 0] = cx - s * 0.45 + (np.arange(6) % 3) * s * 0.1
+    lm[:, 36:42, 1] = cy - s * 0.25 + (np.arange(6) // 3) * s * 0.05
+    lm[:, 42:48, 0] = cx + s * 0.25 + (np.arange(6) % 3) * s * 0.1
+    lm[:, 42:48, 1] = cy - s * 0.25 + (np.arange(6) // 3) * s * 0.05
+    # mouth 48-67
+    t2 = np.linspace(0, 2 * np.pi, 12, endpoint=False)
+    lm[:, 48:60, 0] = cx + np.cos(t2) * s * 0.35
+    lm[:, 48:60, 1] = cy + s * 0.55 + np.sin(t2) * s * 0.15
+    t3 = np.linspace(0, 2 * np.pi, 8, endpoint=False)
+    lm[:, 60:68, 0] = cx + np.cos(t3) * s * 0.2
+    lm[:, 60:68, 1] = cy + s * 0.55 + np.sin(t3) * s * 0.08
+    # slight per-frame jitter
+    lm += RNG.randn(n, 1, 2).astype(np.float32) * 0.5
+    return lm
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    recon_vars = ReconNet().init(k1, jnp.zeros((1, 224, 224, 3)))
+    dnet_vars = DNet().init(k2, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 26, 73)))
+    enet_vars = ENet().init(
+        k3, jnp.zeros((1, 80, 16, 1)), jnp.zeros((1, 384, 384, 6)),
+        jnp.zeros((1, 384, 384, 3)),
+    )
+    lm3d = np.asarray(
+        [[-0.3, 0.2, 0.1], [0.3, 0.2, 0.1], [0.0, 0.0, 0.3],
+         [-0.2, -0.3, 0.1], [0.2, -0.3, 0.1]], np.float64,
+    )
+    models = PipelineModels(
+        recon=recon_vars, dnet=dnet_vars, enet=enet_vars,
+        lm3d=lm3d, expression=np.zeros((64,), np.float32),
+    )
+    cfg = override(PipelineConfig(), {"infer.lnet_batch_size": 4})
+    pipe = LipSyncPipeline(cfg, models)
+
+    lm_by_shape = {}
+
+    def fake_landmarks(frames, batch=8):
+        key = frames.shape[1:3]
+        if key not in lm_by_shape:
+            lm_by_shape[key] = synthetic_landmarks(0, *key)
+        return synthetic_landmarks(len(frames), key[0], key[1])
+
+    def fake_boxes(frames, batch=8):
+        h, w = frames.shape[1:3]
+        cx, cy, s = w / 2, h / 2, min(h, w) * 0.3
+        box = np.asarray([cx - s, cy - s, cx + s, cy + s], np.float32)
+        return np.tile(box, (len(frames), 1))
+
+    pipe.extract_landmarks = fake_landmarks
+    pipe.detect_boxes = fake_boxes
+    return pipe
+
+
+def test_full_pipeline_runs(pipeline, tmp_path):
+    frames = (RNG.rand(N_FRAMES, H, W, 3) * 255).astype(np.uint8)
+
+    lm = pipeline.extract_landmarks(frames)
+    frames_256, coords = pipeline.ffhq_crop(frames, lm[0])
+    assert frames_256.shape == (N_FRAMES, 256, 256, 3)
+    oy1, oy2, ox1, ox2 = coords
+    assert 0 <= oy1 < oy2 <= H and 0 <= ox1 < ox2 <= W
+
+    lm_256 = pipeline.extract_landmarks(frames_256)
+    semantic = pipeline.extract_coeffs(frames_256, lm_256, batch=4)
+    assert semantic.shape == (N_FRAMES, 262)
+    assert np.isfinite(semantic).all()
+
+    stabilized = pipeline.stabilize(frames_256, semantic, batch=4)
+    assert stabilized.shape == (N_FRAMES, 256, 256, 3)
+    assert stabilized.dtype == np.uint8
+
+    # 1 second of synthetic speech at 16 kHz -> 25 fps clip, 6 frames used
+    t = np.arange(16000) / 16000.0
+    wav = (0.5 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    from s2v_tpu.audio import melspectrogram
+
+    mel = melspectrogram(jnp.asarray(wav))
+
+    out = pipeline.synthesize(stabilized, mel, frames, coords, fps=25.0)
+    # mirrored frame indexing covers all mel chunks
+    from s2v_tpu.audio.melspec import num_mel_chunks
+
+    assert len(out) == num_mel_chunks(mel.shape[1], 25.0)
+    assert out.shape[1:] == (H, W, 3)
+    assert out.dtype == np.uint8
+
+    # write + "mux" (codec-free path)
+    from s2v_tpu.io.video_io import VideoWriter, mux_audio
+
+    vw = VideoWriter(str(tmp_path / "result.npz"), 25.0, (H, W))
+    for f in out:
+        vw.write(f)
+    vw.close()
+    assert os.path.getsize(vw.path) > 0
