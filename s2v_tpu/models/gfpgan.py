@@ -1,0 +1,171 @@
+"""GFPGAN v1 (clean) — blind face restoration for the Step-6 mouth region
+(reference: third_part/GFPGAN/gfpgan/archs/gfpganv1_clean_arch.py +
+stylegan2_clean_arch.py; driven by GFPGANer in gfpgan/utils.py:16-143 with
+arch='clean', the v1.4 checkpoint: out_size 512, channel_multiplier 2,
+different_w, sft_half, input_is_latent).
+
+U-Net encoder -> per-level SFT conditions + style code -> StyleGAN2 decoder
+with spatial feature transform on half the channels. Shares the modulated
+conv / StyleConv / ToRGB math with ENet (s2v_tpu.models.layers).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from s2v_tpu.models.layers import (
+    Conv,
+    Dense,
+    ResBlockENet,
+    StyleConv,
+    ToRGB,
+    lrelu,
+)
+
+
+def _channels(narrow: float, channel_multiplier: int):
+    return {
+        4: int(512 * narrow), 8: int(512 * narrow), 16: int(512 * narrow),
+        32: int(512 * narrow), 64: int(256 * channel_multiplier * narrow),
+        128: int(128 * channel_multiplier * narrow),
+        256: int(64 * channel_multiplier * narrow),
+        512: int(32 * channel_multiplier * narrow),
+        1024: int(16 * channel_multiplier * narrow),
+    }
+
+
+class StyleGAN2GeneratorCSFT(nn.Module):
+    """stylegan2_clean_arch.py:195-368 + CSFT forward
+    (gfpganv1_clean_arch.py:11-117)."""
+
+    out_size: int = 512
+    num_style_feat: int = 512
+    num_mlp: int = 8
+    channel_multiplier: int = 2
+    narrow: float = 1.0
+    sft_half: bool = True
+
+    @nn.compact
+    def __call__(self, styles, conditions: List[jnp.ndarray],
+                 input_is_latent: bool = False, deterministic: bool = True):
+        ch = _channels(self.narrow, self.channel_multiplier)
+        log_size = int(math.log2(self.out_size))
+        num_latent = log_size * 2 - 2
+
+        latent = styles
+        if not input_is_latent:
+            s = latent * jax.lax.rsqrt(
+                jnp.mean(latent * latent, axis=-1, keepdims=True) + 1e-8
+            )
+            for i in range(self.num_mlp):
+                s = lrelu(Dense(self.num_style_feat, name=f"style_mlp{i}")(s), 0.2)
+            latent = s
+        if latent.ndim < 3:
+            latent = jnp.repeat(latent[:, None, :], num_latent, axis=1)
+
+        b = latent.shape[0]
+        const = self.param(
+            "constant_input", nn.initializers.normal(1.0), (1, 4, 4, ch[4])
+        )
+        out = jnp.repeat(const.astype(latent.dtype), b, axis=0)
+        out = StyleConv(ch[4], 3, self.num_style_feat, name="style_conv1")(
+            out, latent[:, 0], deterministic=deterministic
+        )
+        skip = ToRGB(self.num_style_feat, upsample=False, name="to_rgb1")(
+            out, latent[:, 1]
+        )
+
+        i = 1
+        in_idx = 0
+        for res_log in range(3, log_size + 1):
+            out_ch = ch[2 ** res_log]
+            out = StyleConv(out_ch, 3, self.num_style_feat,
+                            sample_mode="upsample",
+                            name=f"style_convs{2 * in_idx}")(
+                out, latent[:, i], deterministic=deterministic)
+            if i < len(conditions):
+                scale, shift = conditions[i - 1], conditions[i]
+                if self.sft_half:
+                    half = out.shape[-1] // 2
+                    out_same, out_sft = out[..., :half], out[..., half:]
+                    out_sft = out_sft * scale + shift
+                    out = jnp.concatenate([out_same, out_sft], axis=-1)
+                else:
+                    out = out * scale + shift
+            out = StyleConv(out_ch, 3, self.num_style_feat,
+                            name=f"style_convs{2 * in_idx + 1}")(
+                out, latent[:, i + 1], deterministic=deterministic)
+            skip = ToRGB(self.num_style_feat, upsample=True,
+                         name=f"to_rgbs{in_idx}")(out, latent[:, i + 2], skip)
+            i += 2
+            in_idx += 1
+        return skip
+
+
+class GFPGANv1Clean(nn.Module):
+    """gfpganv1_clean_arch.py:153-324 (v1.4 configuration defaults).
+
+    Input: [B, out_size, out_size, 3] in [-1, 1]. Returns the restored image
+    in [-1, 1] (out_rgbs omitted — the pipeline never consumes them).
+    """
+
+    out_size: int = 512
+    num_style_feat: int = 512
+    channel_multiplier: int = 2
+    num_mlp: int = 8
+    input_is_latent: bool = True
+    different_w: bool = True
+    narrow: float = 1.0
+    sft_half: bool = True
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        unet_narrow = self.narrow * 0.5
+        ch = _channels(unet_narrow, self.channel_multiplier)
+        log_size = int(math.log2(self.out_size))
+
+        feat = lrelu(Conv(ch[self.out_size], (1, 1), name="conv_body_first")(x), 0.2)
+        unet_skips = []
+        for idx, i in enumerate(range(log_size, 2, -1)):
+            feat = ResBlockENet(ch[2 ** (i - 1)], name=f"conv_body_down{idx}")(feat)
+            unet_skips.insert(0, feat)
+        feat = lrelu(Conv(ch[4], (3, 3), padding=(1, 1), name="final_conv")(feat), 0.2)
+
+        # style code — torch flattens NCHW; keep that order for conversion
+        b = feat.shape[0]
+        flat = jnp.transpose(feat, (0, 3, 1, 2)).reshape(b, -1)
+        if self.different_w:
+            out_dim = (log_size * 2 - 2) * self.num_style_feat
+        else:
+            out_dim = self.num_style_feat
+        style_code = Dense(out_dim, name="final_linear")(flat)
+        if self.different_w:
+            style_code = style_code.reshape(b, -1, self.num_style_feat)
+
+        conditions = []
+        for i in range(log_size - 2):
+            feat = feat + unet_skips[i]
+            feat = ResBlockENet(ch[2 ** (i + 3)], mode="up",
+                                name=f"conv_body_up{i}")(feat)
+            sft_ch = ch[2 ** (i + 3)] if self.sft_half else ch[2 ** (i + 3)] * 2
+            scale = Conv(sft_ch, (3, 3), padding=(1, 1),
+                         name=f"condition_scale{i}_2")(
+                lrelu(Conv(ch[2 ** (i + 3)], (3, 3), padding=(1, 1),
+                           name=f"condition_scale{i}_0")(feat), 0.2))
+            shift = Conv(sft_ch, (3, 3), padding=(1, 1),
+                         name=f"condition_shift{i}_2")(
+                lrelu(Conv(ch[2 ** (i + 3)], (3, 3), padding=(1, 1),
+                           name=f"condition_shift{i}_0")(feat), 0.2))
+            conditions.extend([scale, shift])
+
+        return StyleGAN2GeneratorCSFT(
+            self.out_size, self.num_style_feat, self.num_mlp,
+            self.channel_multiplier, self.narrow, self.sft_half,
+            name="stylegan_decoder",
+        )(style_code, conditions, input_is_latent=self.input_is_latent,
+          deterministic=deterministic)

@@ -428,18 +428,21 @@ class ADAINHourglass(nn.Module):
 
 
 class ResBlockENet(nn.Module):
-    """ENet style-encoder ResBlock (base_blocks.py:29-49), bilinear 0.5x."""
+    """StyleGAN2-style ResBlock with bilinear resample (base_blocks.py:29-49
+    == gfpganv1_clean_arch.py:120-149): mode 'down' halves, 'up' doubles."""
 
     features: int
+    mode: str = "down"
 
     @nn.compact
     def __call__(self, x):
         b, h, w, cin = x.shape
+        out_hw = (h // 2, w // 2) if self.mode == "down" else (2 * h, 2 * w)
         out = lrelu(Conv(cin, (3, 3), padding=(1, 1), name="conv1")(x), 0.2)
-        out = resize_bilinear(out, (h // 2, w // 2))
+        out = resize_bilinear(out, out_hw)
         out = lrelu(Conv(self.features, (3, 3), padding=(1, 1), name="conv2")(out), 0.2)
         skip = Conv(self.features, (1, 1), use_bias=False, name="skip")(
-            resize_bilinear(x, (h // 2, w // 2))
+            resize_bilinear(x, out_hw)
         )
         return out + skip
 

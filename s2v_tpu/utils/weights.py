@@ -506,3 +506,150 @@ def convert_recon_net(sd: Dict[str, np.ndarray], prefix: str = "",
     for i in range(7):
         params[f"head{i}"] = v.conv(f"final_layers.{i}")
     return {"params": params, "batch_stats": {"backbone": backbone_s}}
+
+
+# --------------------------------------------------------------------------
+# GFPGAN v1 clean
+# --------------------------------------------------------------------------
+
+def _gfpgan_resblock(v: SDView) -> Dict:
+    return {
+        "conv1": v.conv("conv1"),
+        "conv2": v.conv("conv2"),
+        "skip": v.conv("skip", bias=False),
+    }
+
+
+def _modconv(v: SDView) -> Dict:
+    w = v.get("weight")[0]  # (1,O,I,k,k) -> (O,I,k,k)
+    return {
+        "weight": np.transpose(w, (2, 3, 1, 0)),
+        "modulation": v.linear("modulation"),
+    }
+
+
+def _styleconv(v: SDView) -> Dict:
+    return {
+        "modulated_conv": _modconv(v.sub("modulated_conv")),
+        "noise_weight": v.get("weight"),
+        "bias": v.get("bias").reshape(-1),
+    }
+
+
+def _torgb(v: SDView) -> Dict:
+    return {
+        "modulated_conv": _modconv(v.sub("modulated_conv")),
+        "bias": v.get("bias").reshape(-1),
+    }
+
+
+def convert_gfpgan_clean(sd: Dict[str, np.ndarray], out_size: int = 512,
+                         num_mlp: int = 8, prefix: str = "") -> Dict:
+    """GFPGANv1Clean checkpoint ('params_ema'/'params' key) -> flax vars."""
+    import math
+
+    v = SDView(sd, prefix)
+    log_size = int(math.log2(out_size))
+    params: Dict = {
+        "conv_body_first": v.conv("conv_body_first"),
+        "final_conv": v.conv("final_conv"),
+        "final_linear": v.linear("final_linear"),
+    }
+    for idx in range(log_size - 2):
+        params[f"conv_body_down{idx}"] = _gfpgan_resblock(
+            v.sub(f"conv_body_down.{idx}")
+        )
+        params[f"conv_body_up{idx}"] = _gfpgan_resblock(v.sub(f"conv_body_up.{idx}"))
+        for kind in ("scale", "shift"):
+            blk = v.sub(f"condition_{kind}.{idx}")
+            params[f"condition_{kind}{idx}_0"] = blk.conv("0")
+            params[f"condition_{kind}{idx}_2"] = blk.conv("2")
+
+    dec = v.sub("stylegan_decoder")
+    d: Dict = {
+        "constant_input": dec.get("constant_input.weight").transpose(0, 2, 3, 1),
+        "style_conv1": _styleconv(dec.sub("style_conv1")),
+        "to_rgb1": _torgb(dec.sub("to_rgb1")),
+    }
+    for i in range(num_mlp):
+        d[f"style_mlp{i}"] = dec.linear(f"style_mlp.{2 * i + 1}")
+    n_layers = (log_size - 2) * 2
+    for k in range(n_layers):
+        d[f"style_convs{k}"] = _styleconv(dec.sub(f"style_convs.{k}"))
+    for k in range(log_size - 2):
+        d[f"to_rgbs{k}"] = _torgb(dec.sub(f"to_rgbs.{k}"))
+    params["stylegan_decoder"] = d
+    return {"params": params}
+
+
+# --------------------------------------------------------------------------
+# GPEN (FullGenerator / FullGenerator_SR)
+# --------------------------------------------------------------------------
+
+def _gpen_modconv(v: SDView) -> Dict:
+    w = v.get("weight")[0]  # (1,O,I,k,k)
+    return {
+        "weight": np.transpose(w, (2, 3, 1, 0)),
+        "modulation": v.linear("modulation"),
+    }
+
+
+def _gpen_styledconv(v: SDView) -> Dict:
+    return {
+        "conv": _gpen_modconv(v.sub("conv")),
+        "noise_weight": v.get("noise.weight"),
+        "act_bias": v.get("activate.bias"),
+    }
+
+
+def _gpen_torgb(v: SDView) -> Dict:
+    return {
+        "conv": _gpen_modconv(v.sub("conv")),
+        "bias": v.get("bias").reshape(-1),
+    }
+
+
+def _gpen_convlayer(v: SDView, downsample: bool) -> Dict:
+    # ConvLayer is a Sequential: [Blur,] EqualConv2d, FusedLeakyReLU
+    base = 1 if downsample else 0
+    out = {"conv": {"weight": np.transpose(v.get(f"{base}.weight"), (2, 3, 1, 0))}}
+    if f"{base}.bias" in v:
+        out["conv"]["bias"] = v.get(f"{base}.bias")
+    if f"{base + 1}.bias" in v:
+        out["act_bias"] = v.get(f"{base + 1}.bias")
+    return out
+
+
+def _gpen_generator(v: SDView, size: int, n_mlp: int = 8) -> Dict:
+    import math
+
+    log_size = int(math.log2(size))
+    d: Dict = {
+        "constant_input": v.get("input.input").transpose(0, 2, 3, 1),
+        "conv1": _gpen_styledconv(v.sub("conv1")),
+        "to_rgb1": _gpen_torgb(v.sub("to_rgb1")),
+    }
+    for i in range(n_mlp):
+        d[f"style{i}"] = v.linear(f"style.{i + 1}")
+    for k in range(2 * (log_size - 2)):
+        d[f"convs{k}"] = _gpen_styledconv(v.sub(f"convs.{k}"))
+    for k in range(log_size - 2):
+        d[f"to_rgbs{k}"] = _gpen_torgb(v.sub(f"to_rgbs.{k}"))
+    return d
+
+
+def convert_gpen_full(sd: Dict[str, np.ndarray], size: int = 512,
+                      n_mlp: int = 8, in_size: Optional[int] = None,
+                      prefix: str = "") -> Dict:
+    """FullGenerator (in_size == None) or FullGenerator_SR checkpoints."""
+    import math
+
+    v = SDView(sd, prefix)
+    enc_size = in_size if in_size is not None else size
+    log_in = int(math.log2(enc_size))
+    params: Dict = {"ecd0": _gpen_convlayer(v.sub("ecd0.0"), downsample=False)}
+    for idx in range(1, log_in - 1):
+        params[f"ecd{idx}"] = _gpen_convlayer(v.sub(f"ecd{idx}.0"), downsample=True)
+    params["final_linear"] = v.linear("final_linear.0")
+    params["generator"] = _gpen_generator(v.sub("generator"), size, n_mlp)
+    return {"params": params}
