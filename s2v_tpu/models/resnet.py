@@ -42,10 +42,16 @@ class Bottleneck(nn.Module):
 
 
 class ResNet(nn.Module):
-    """Bottleneck ResNet; layers=(3,4,6,3) is ResNet50."""
+    """Bottleneck ResNet; layers=(3,4,6,3) is ResNet50.
+
+    ``return_stages`` yields the per-stage feature maps (layer1..layer4) —
+    the FPN inputs RetinaFace taps via IntermediateLayerGetter
+    (retinaface.py:73).
+    """
 
     layers: Sequence[int] = (3, 4, 6, 3)
     pool_output: bool = True
+    return_stages: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -57,6 +63,7 @@ class ResNet(nn.Module):
         x = nn.max_pool(x, (3, 3), (2, 2))
 
         planes = 64
+        stages = []
         for stage, n_blocks in enumerate(self.layers):
             stride = 1 if stage == 0 else 2
             for b in range(n_blocks):
@@ -66,8 +73,11 @@ class ResNet(nn.Module):
                     planes, s, has_downsample=(b == 0 and (s != 1 or in_ch != planes * 4)),
                     name=f"layer{stage + 1}_{b}",
                 )(x, train)
+            stages.append(x)
             planes *= 2
 
+        if self.return_stages:
+            return stages
         if self.pool_output:
             x = x.mean(axis=(1, 2), keepdims=True)  # AdaptiveAvgPool2d(1)
         return x

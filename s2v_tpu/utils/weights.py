@@ -653,3 +653,113 @@ def convert_gpen_full(sd: Dict[str, np.ndarray], size: int = 512,
     params["final_linear"] = v.linear("final_linear.0")
     params["generator"] = _gpen_generator(v.sub("generator"), size, n_mlp)
     return {"params": params}
+
+
+# --------------------------------------------------------------------------
+# ParseNet
+# --------------------------------------------------------------------------
+
+def _parse_convlayer(v: SDView) -> Dict:
+    out = {"conv2d": v.conv("conv2d")}
+    if "norm.norm.weight" in v:
+        bn_p, bn_s = v.bn("norm.norm")
+        out["norm"] = bn_p
+        out["norm__stats"] = bn_s
+    return out
+
+
+def _parse_resblock(v: SDView) -> Dict:
+    out: Dict = {
+        "conv1": _parse_convlayer(v.sub("conv1")),
+        "conv2": _parse_convlayer(v.sub("conv2")),
+    }
+    if "shortcut_func.conv2d.weight" in v:
+        out["shortcut"] = _parse_convlayer(v.sub("shortcut_func"))
+    return out
+
+
+def convert_parsenet(sd: Dict[str, np.ndarray], down_steps: int = 4,
+                     up_steps: int = 4, res_depth: int = 10,
+                     prefix: str = "") -> Dict:
+    v = SDView(sd, prefix)
+    tree: Dict = {"encoder0": _parse_convlayer(v.sub("encoder.0"))}
+    for i in range(down_steps):
+        tree[f"encoder{i + 1}"] = _parse_resblock(v.sub(f"encoder.{i + 1}"))
+    for i in range(res_depth):
+        tree[f"body{i}"] = _parse_resblock(v.sub(f"body.{i}"))
+    for i in range(up_steps):
+        tree[f"decoder{i}"] = _parse_resblock(v.sub(f"decoder.{i}"))
+    tree["out_img_conv"] = _parse_convlayer(v.sub("out_img_conv"))
+    tree["out_mask_conv"] = _parse_convlayer(v.sub("out_mask_conv"))
+    params, stats = _split_stats(tree)
+    return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# RRDBNet
+# --------------------------------------------------------------------------
+
+def convert_rrdbnet(sd: Dict[str, np.ndarray], num_block: int = 23,
+                    prefix: str = "") -> Dict:
+    v = SDView(sd, prefix)
+    params: Dict = {}
+    for name in ("conv_first", "conv_body", "conv_up1", "conv_up2",
+                 "conv_hr", "conv_last"):
+        params[name] = v.conv(name)
+    for i in range(num_block):
+        blk: Dict = {}
+        for j in (1, 2, 3):
+            rdb = v.sub(f"body.{i}.rdb{j}")
+            blk[f"rdb{j}"] = {f"conv{k}": rdb.conv(f"conv{k}") for k in range(1, 6)}
+        params[f"body{i}"] = blk
+    return {"params": params}
+
+
+# --------------------------------------------------------------------------
+# RetinaFace (cfg_re50)
+# --------------------------------------------------------------------------
+
+def _convbn(v: SDView) -> Dict:
+    bn_p, bn_s = v.bn("1")
+    return {"conv": v.conv("0", bias=False), "bn": bn_p, "bn__stats": bn_s}
+
+
+def convert_retinaface(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """RetinaFace-R50 checkpoint -> flax variables. Backbone keys follow
+    torchvision resnet50 naming under 'body.'."""
+    v = SDView(sd, prefix)
+
+    # backbone (torchvision resnet50 layout)
+    bb = v.sub("body")
+    tree: Dict = {"conv1": bb.conv("conv1", bias=False)}
+    bn_p, bn_s = bb.bn("bn1")
+    tree["bn1"] = bn_p
+    tree["bn1__stats"] = bn_s
+    for stage, n in enumerate((3, 4, 6, 3)):
+        for b in range(n):
+            tree[f"layer{stage + 1}_{b}"] = _bottleneck(
+                bb.sub(f"layer{stage + 1}.{b}")
+            )
+
+    fpn = v.sub("fpn")
+    tree["fpn"] = {
+        name: _convbn(fpn.sub(name))
+        for name in ("output1", "output2", "output3", "merge1", "merge2")
+    }
+    for i in (1, 2, 3):
+        ssh = v.sub(f"ssh{i}")
+        tree[f"ssh{i}"] = {
+            name: _convbn(ssh.sub(name))
+            for name in ("conv3X3", "conv5X5_1", "conv5X5_2", "conv7X7_2", "conv7x7_3")
+        }
+    for i in range(3):
+        tree[f"BboxHead{i}"] = v.conv(f"BboxHead.{i}.conv1x1")
+        tree[f"ClassHead{i}"] = v.conv(f"ClassHead.{i}.conv1x1")
+        tree[f"LandmarkHead{i}"] = v.conv(f"LandmarkHead.{i}.conv1x1")
+
+    params, stats = _split_stats(tree)
+    body_p = {k: params.pop(k) for k in list(params) if k.startswith(("conv1", "bn1", "layer"))}
+    body_s = {k: stats.pop(k) for k in list(stats) if k.startswith(("bn1", "layer"))}
+    params["body"] = body_p
+    stats["body"] = body_s
+    return {"params": params, "batch_stats": stats}

@@ -1,0 +1,89 @@
+"""FaceEnhancer orchestration tests: geometry vs reference formulas, and an
+end-to-end smoke with random weights."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2v_tpu.pipeline.enhance import (
+    FaceEnhancer,
+    affine_sample_grid,
+    get_reference_facial_points,
+    paste_mask_512,
+    umeyama_with_scale,
+    warp_and_crop_transforms,
+)
+
+RNG = np.random.RandomState(121)
+
+
+def test_reference_facial_points_512():
+    """FaceEnhancement config: 512^2, inner padding 0.25, default square."""
+    pts = get_reference_facial_points((512, 512), 0.25, (0, 0), True)
+    assert pts.shape == (5, 2)
+    # known values: default square turns (96,112) into (112,112); scale
+    # 512/168; x shift +8 from squaring.
+    scale = 512.0 / (112 + round(112 * 0.5))
+    want_x0 = (30.29459953 + 8.0 + 112 * 0.25) * scale
+    np.testing.assert_allclose(pts[0, 0], want_x0, rtol=1e-5)
+    # symmetric eyes about the vertical center
+    np.testing.assert_allclose(
+        pts[0, 0] + pts[1, 0], 512.0 * (30.29459953 + 8 + 65.53179932 + 8 + 2 * 28)
+        / (168.0), rtol=1e-5,
+    )
+
+
+def test_umeyama_inverse_transform_roundtrip():
+    src = RNG.rand(5, 2).astype(np.float64) * 100
+    ref = get_reference_facial_points((512, 512)).astype(np.float64)
+    tfm, tfm_inv = warp_and_crop_transforms(src, ref)
+    # forward then inverse returns the original points
+    fwd = src @ tfm[:, :2].T + tfm[:, 2]
+    back = fwd @ tfm_inv[:, :2].T + tfm_inv[:, 2]
+    np.testing.assert_allclose(back, src, rtol=1e-5, atol=1e-5)
+
+
+def test_affine_grid_translation():
+    """warpAffine with a pure translation samples src at (x - tx, y - ty)."""
+    img = RNG.rand(1, 32, 32, 3).astype(np.float32)
+    tfm = np.array([[1.0, 0.0, 5.0], [0.0, 1.0, 3.0]])
+    grid = affine_sample_grid(tfm, (32, 32), (32, 32))
+    from s2v_tpu.ops.warp import grid_sample_bilinear
+
+    out = np.asarray(grid_sample_bilinear(jnp.asarray(img), jnp.asarray(grid)[None]))[0]
+    np.testing.assert_allclose(out[3:, 5:], img[0][: 32 - 3, : 32 - 5],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_paste_mask_shape():
+    m = paste_mask_512()
+    assert m.shape == (512, 512)
+    assert m[256, 256] > 0.9 and m[0, 0] < 0.1
+
+
+@pytest.mark.slow
+def test_face_enhancer_smoke():
+    """Random weights end-to-end: detection forced valid via low threshold
+    on a small frame; checks the composite path runs and output is sane."""
+    from s2v_tpu.models.gpen import FullGenerator
+    from s2v_tpu.models.parsenet import ParseNet
+    from s2v_tpu.models.retinaface import RetinaFace
+
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    in_size = 64
+    models = {
+        "retinaface": RetinaFace().init(k1, jnp.zeros((1, 64, 64, 3))),
+        "facegan": FullGenerator(size=in_size).init(
+            k2, jnp.zeros((1, in_size, in_size, 3))
+        ),
+        "parsenet": ParseNet().init(k3, jnp.zeros((1, 512, 512, 3))),
+    }
+    enhancer = FaceEnhancer(models, in_size=in_size, threshold=-1.0)
+    frame = (RNG.rand(64, 64, 3) * 255).astype(np.uint8)
+    out = enhancer(frame)
+    assert out.shape == frame.shape and out.dtype == np.uint8
+    out2 = enhancer(frame, laplacian_blend=True, bbox=(10, 50, 10, 50))
+    assert out2.shape == frame.shape
