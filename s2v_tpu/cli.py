@@ -67,6 +67,50 @@ def load_models(checkpoint_dir: str):
 
         mat = loadmat(expr_mat)
         models.expression = np.asarray(mat["expression_center"][0], np.float32)
+
+    # --- restoration stack (GPEN / GFPGAN / ParseNet / RetinaFace) ---
+    aux = {}
+    retina_path = maybe("RetinaFace-R50.pth") or maybe(
+        os.path.join("weights", "RetinaFace-R50.pth")
+    )
+    if retina_path:
+        aux["retinaface"] = as_vars(
+            W.convert_retinaface(W.load_torch_checkpoint(retina_path, key=None))
+        )
+    parse_path = maybe("ParseNet-latest.pth") or maybe(
+        os.path.join("weights", "ParseNet-latest.pth")
+    )
+    if parse_path:
+        aux["parsenet"] = as_vars(
+            W.convert_parsenet(W.load_torch_checkpoint(parse_path, key=None))
+        )
+    gfp_path = maybe("GFPGANv1.4.pth")
+    if gfp_path:
+        sd = W.load_torch_checkpoint(gfp_path, key="params_ema")
+        aux["gfpgan"] = as_vars(W.convert_gfpgan_clean(sd))
+    gpen512 = maybe("GPEN-BFR-512.pth") or maybe(
+        os.path.join("weights", "GPEN-BFR-512.pth")
+    )
+    if gpen512 and "retinaface" in aux and "parsenet" in aux:
+        from s2v_tpu.pipeline.enhance import FaceEnhancer
+
+        gan512 = as_vars(
+            W.convert_gpen_full(W.load_torch_checkpoint(gpen512, key=None), size=512)
+        )
+        enhancer = FaceEnhancer(
+            {"retinaface": aux["retinaface"], "parsenet": aux["parsenet"],
+             "facegan": gan512},
+            in_size=512,
+        )
+        models.ref_enhancer = lambda f: enhancer(f, face_enhance=False)
+    from s2v_tpu.pipeline.restoration import make_mouth_restorer
+
+    models.mouth_restorer = make_mouth_restorer(aux)
+    gani_path = maybe("30_net_gen.pth") or maybe("ganimation.pth")
+    if gani_path:
+        models.ganimation = as_vars(
+            W.convert_ganimation(W.load_torch_checkpoint(gani_path, key=None))
+        )
     return models
 
 

@@ -76,10 +76,12 @@ class PipelineModels:
     enet: Optional[Dict] = None       # full ENet tree including low_res (LNet)
     lm3d: Optional[np.ndarray] = None  # [5, 3] standard landmarks
     expression: Optional[np.ndarray] = None  # [64] template coeffs
+    ganimation: Optional[Dict] = None  # SplitGenerator variables (--up_face)
     # hooks for the restoration stack (GPEN / GFPGAN); identity by default
     ref_enhancer: Optional[Callable] = None
     final_enhancer: Optional[Callable] = None
     mouth_restorer: Optional[Callable] = None
+    up_face_editor: Optional[Callable] = None
 
 
 class LipSyncPipeline:
@@ -402,7 +404,7 @@ class LipSyncPipeline:
         out_frames = []
         for start in range(0, n_chunks, batch):
             idxs = [frame_index(i) for i in range(start, min(start + batch, n_chunks))]
-            face_batch, ref_batch, mel_batch = [], [], []
+            face_batch, ref_batch, mel_batch, orig_batch = [], [], [], []
             for i in idxs:
                 x1, y1, x2, y2 = boxes[i]
                 oface = full_frames_t[i, y1:y2, x1:x2]
@@ -422,19 +424,35 @@ class LipSyncPipeline:
                 masked[img_size // 2 :] = 0  # lower-half mask (inference.py:397)
                 face_batch.append(np.concatenate([masked, ref], axis=-1) / 255.0)
                 ref_batch.append(ref / 255.0)
+                orig_batch.append(oface / 255.0)
                 mel_batch.append(chunks[i])
             pad = batch - len(idxs)
             if pad:
                 face_batch += [face_batch[-1]] * pad
                 ref_batch += [ref_batch[-1]] * pad
+                orig_batch += [orig_batch[-1]] * pad
                 mel_batch = list(mel_batch) + [mel_batch[-1]] * pad
+            face_np = np.stack(face_batch)
             pred = run(
                 self.models.enet,
                 jnp.asarray(np.stack(mel_batch))[..., None],
-                jnp.asarray(np.stack(face_batch)),
+                jnp.asarray(face_np),
                 jnp.asarray(np.stack(ref_batch)),
             )
-            pred = np.asarray(pred)[: len(idxs)] * 255.0
+            pred = np.asarray(pred)
+
+            # upper-face edit + masked composite (inference.py:269-286):
+            # GANimation only takes effect through the --without_rl1 path
+            if cfg.infer.without_rl1:
+                orig = np.stack(orig_batch)
+                if self.models.up_face_editor is not None:
+                    cur = self.models.up_face_editor(orig)
+                else:
+                    cur = orig
+                mask = (face_np[..., :3] == 0).astype(np.float32)
+                pred = pred * mask + cur * (1.0 - mask)
+
+            pred = pred[: len(idxs)] * 255.0
 
             for k, i in enumerate(idxs):
                 x1, y1, x2, y2 = boxes[i]

@@ -90,7 +90,7 @@ class InferenceConfig:
     crop: Tuple[int, int, int, int] = (0, -1, 0, -1)
     nosmooth: bool = False
     one_shot: bool = False
-    without_rl1: bool = True
+    without_rl1: bool = False  # store_true flag; off by default (options():45)
     cropped_image: bool = False
     re_preprocess: bool = False
     tmp_dir: str = "temp"

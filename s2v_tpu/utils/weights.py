@@ -763,3 +763,26 @@ def convert_retinaface(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
     params["body"] = body_p
     stats["body"] = body_s
     return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# GANimation SplitGenerator
+# --------------------------------------------------------------------------
+
+def convert_ganimation(sd: Dict[str, np.ndarray], n_blocks: int = 6,
+                       prefix: str = "") -> Dict:
+    """SplitGenerator checkpoint (model_utils.py:419-482, zero padding,
+    instance norm => only conv params in the state dict)."""
+    v = SDView(sd, prefix)
+    params: Dict = {"head": v.conv("model.0")}
+    params["down0"] = v.conv("model.3")
+    params["down1"] = v.conv("model.6")
+    for i in range(n_blocks):
+        blk = v.sub(f"model.{9 + i}.conv_block")
+        params[f"res{i}"] = {"conv1": blk.conv("0"), "conv2": blk.conv("3")}
+    base = 9 + n_blocks
+    params["up0"] = v.conv_transpose(f"model.{base}")
+    params["up1"] = v.conv_transpose(f"model.{base + 3}")
+    params["color_top"] = v.conv("color_top.0", bias=False)
+    params["au_top"] = v.conv("au_top.0", bias=False)
+    return {"params": params}
