@@ -1,0 +1,103 @@
+"""IResNet — the arcface face-recognition backbone (reference:
+third_part/face3d/models/arcface_torch/backbones/iresnet.py). Used as:
+- the RecogNetWrapper identity-feature extractor (face3d networks.py:107)
+- the training.py ArcFaceLoss capability (identity preservation)
+- the backbone of the distributed arcface training harness whose classifier
+  is s2v_tpu.parallel.partial_fc.
+
+Pre-activation BasicBlocks with PReLU; 112x112 input -> 512-d embedding
+through a BN -> flatten -> fc -> feature-BN head.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from s2v_tpu.models.layers import BatchNorm2d, Conv, Dense
+
+
+class PReLU(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        alpha = self.param("alpha", nn.initializers.constant(0.25),
+                           (self.features,))
+        return jnp.where(x >= 0, x, x * alpha.astype(x.dtype))
+
+
+class IBasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = BatchNorm2d(x.shape[-1], name="bn1")(x, train)
+        out = Conv(self.planes, (3, 3), padding=(1, 1), use_bias=False,
+                   name="conv1")(out)
+        out = BatchNorm2d(self.planes, name="bn2")(out, train)
+        out = PReLU(self.planes, name="prelu")(out)
+        out = Conv(self.planes, (3, 3), (self.stride, self.stride), (1, 1),
+                   use_bias=False, name="conv2")(out)
+        out = BatchNorm2d(self.planes, name="bn3")(out, train)
+        if self.has_downsample:
+            identity = Conv(self.planes, (1, 1), (self.stride, self.stride),
+                            use_bias=False, name="downsample_conv")(x)
+            identity = BatchNorm2d(self.planes, name="downsample_bn")(identity, train)
+        return out + identity
+
+
+class IResNet(nn.Module):
+    """layers=(3,4,14,3) is iresnet50; (2,2,2,2) iresnet18."""
+
+    layers: Sequence[int] = (3, 4, 14, 3)
+    num_features: int = 512
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(64, (3, 3), padding=(1, 1), use_bias=False, name="conv1")(x)
+        x = BatchNorm2d(64, name="bn1")(x, train)
+        x = PReLU(64, name="prelu")(x)
+
+        planes = 64
+        for stage, n_blocks in enumerate(self.layers):
+            for b in range(n_blocks):
+                stride = 2 if b == 0 else 1
+                in_ch = x.shape[-1]
+                x = IBasicBlock(
+                    planes, stride,
+                    has_downsample=(b == 0 and (stride != 1 or in_ch != planes)),
+                    name=f"layer{stage + 1}_{b}",
+                )(x, train)
+            planes *= 2
+
+        x = BatchNorm2d(x.shape[-1], name="bn2")(x, train)
+        b = x.shape[0]
+        flat = jnp.transpose(x, (0, 3, 1, 2)).reshape(b, -1)  # torch CHW order
+        feat = Dense(self.num_features, name="fc")(flat)
+        # features BN: 1-D batch norm with frozen unit weight
+        weight = self.param("features_weight", nn.initializers.ones,
+                            (self.num_features,))
+        bias = self.param("features_bias", nn.initializers.zeros,
+                          (self.num_features,))
+        mean = self.variable("batch_stats", "features_mean",
+                             lambda: jnp.zeros(self.num_features))
+        var = self.variable("batch_stats", "features_var",
+                            lambda: jnp.ones(self.num_features))
+        if train:
+            m = feat.mean(axis=0)
+            v = feat.var(axis=0)
+            if not self.is_initializing():
+                mean.value = 0.9 * mean.value + 0.1 * m
+                n = feat.shape[0]
+                var.value = 0.9 * var.value + 0.1 * v * n / max(n - 1, 1)
+        else:
+            m, v = mean.value, var.value
+        inv = jax.lax.rsqrt(v + 1e-5)
+        return (feat - m) * inv * weight + bias

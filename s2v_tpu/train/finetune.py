@@ -51,10 +51,14 @@ def style_conv_mask(params) -> Any:
 
 
 def make_optimizer(lr: float, params, mask_fn: Optional[Callable] = None):
-    tx = optax.adam(lr)
-    if mask_fn is not None:
-        tx = optax.masked(tx, mask_fn(params))
-    return tx
+    if mask_fn is None:
+        return optax.adam(lr)
+    labels = jax.tree_util.tree_map(
+        lambda trainable: "train" if trainable else "freeze", mask_fn(params)
+    )
+    return optax.multi_transform(
+        {"train": optax.adam(lr), "freeze": optax.set_to_zero()}, labels
+    )
 
 
 def make_train_step(

@@ -786,3 +786,47 @@ def convert_ganimation(sd: Dict[str, np.ndarray], n_blocks: int = 6,
     params["color_top"] = v.conv("color_top.0", bias=False)
     params["au_top"] = v.conv("au_top.0", bias=False)
     return {"params": params}
+
+
+# --------------------------------------------------------------------------
+# IResNet (arcface backbone)
+# --------------------------------------------------------------------------
+
+def _ibasic(v: SDView) -> Dict:
+    out: Dict = {}
+    for i in (1, 2, 3):
+        bn_p, bn_s = v.bn(f"bn{i}")
+        out[f"bn{i}"] = bn_p
+        out[f"bn{i}__stats"] = bn_s
+    out["conv1"] = v.conv("conv1", bias=False)
+    out["conv2"] = v.conv("conv2", bias=False)
+    out["prelu"] = {"alpha": v.get("prelu.weight")}
+    if "downsample.0.weight" in v:
+        out["downsample_conv"] = v.conv("downsample.0", bias=False)
+        bn_p, bn_s = v.bn("downsample.1")
+        out["downsample_bn"] = bn_p
+        out["downsample_bn__stats"] = bn_s
+    return out
+
+
+def convert_iresnet(sd: Dict[str, np.ndarray], layers=(3, 4, 14, 3),
+                    prefix: str = "") -> Dict:
+    v = SDView(sd, prefix)
+    tree: Dict = {"conv1": v.conv("conv1", bias=False)}
+    bn_p, bn_s = v.bn("bn1")
+    tree["bn1"] = bn_p
+    tree["bn1__stats"] = bn_s
+    tree["prelu"] = {"alpha": v.get("prelu.weight")}
+    for stage, n in enumerate(layers):
+        for b in range(n):
+            tree[f"layer{stage + 1}_{b}"] = _ibasic(v.sub(f"layer{stage + 1}.{b}"))
+    bn_p, bn_s = v.bn("bn2")
+    tree["bn2"] = bn_p
+    tree["bn2__stats"] = bn_s
+    tree["fc"] = v.linear("fc")
+    params, stats = _split_stats(tree)
+    params["features_weight"] = v.get("features.weight")
+    params["features_bias"] = v.get("features.bias")
+    stats["features_mean"] = v.get("features.running_mean")
+    stats["features_var"] = v.get("features.running_var")
+    return {"params": params, "batch_stats": stats}

@@ -1,0 +1,137 @@
+"""Training subsystems: arcface distributed trainer (DP x MP mesh), ENet
+fine-tune step with style-conv freezing, checkpointing, cache, diagnostics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2v_tpu.parallel.mesh import make_mesh
+from s2v_tpu.train.arcface import make_arcface_trainer
+from s2v_tpu.train.finetune import style_conv_mask
+from s2v_tpu.utils.cache import ArtifactCache
+from s2v_tpu.utils.config import TrainConfig
+from s2v_tpu.utils.diagnostics import AverageMeter, ThroughputLogger, global_norm
+
+RNG = np.random.RandomState(151)
+
+
+@pytest.mark.slow
+def test_arcface_trainer_step_dp_mp():
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    state, step_fn = make_arcface_trainer(
+        mesh, num_classes=16, embedding_size=64, layers=(1, 1, 1, 1), lr=0.1
+    )
+    images = jnp.asarray(RNG.rand(8, 112, 112, 3).astype(np.float32))
+    labels = jnp.asarray(RNG.randint(0, 16, size=8).astype(np.int32))
+    with mesh:
+        s1, m1 = step_fn(state, images, labels)
+        s2, m2 = step_fn(s1, images, labels)
+    assert int(s2.step) == 2
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    # parameters actually moved
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, s2.params
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_style_conv_mask_selects_only_style_convs():
+    params = {
+        "style_conv0": {"bias": np.zeros(3)},
+        "style_encoder": {"final_linear": {"weight": np.zeros((4, 4))}},
+        "low_res": {"decoder": {"w": np.zeros(2)}},
+    }
+    mask = style_conv_mask(params)
+    assert mask["style_conv0"]["bias"] is True
+    assert mask["style_encoder"]["final_linear"]["weight"] is False
+    assert mask["low_res"]["decoder"]["w"] is False
+
+
+def test_enet_finetune_updates_only_style_convs():
+    from s2v_tpu.models import ENet
+    from s2v_tpu.train.finetune_enet import make_enet_finetune_step
+
+    rng = jax.random.PRNGKey(0)
+    variables = ENet().init(
+        rng, jnp.zeros((1, 80, 16, 1)), jnp.zeros((1, 384, 384, 6)),
+        jnp.zeros((1, 384, 384, 3)),
+    )
+    state, step_fn = make_enet_finetune_step(variables, TrainConfig(lr=1e-3))
+    batch = {
+        "mel": jnp.asarray(RNG.rand(1, 80, 16, 1).astype(np.float32)),
+        "face": jnp.asarray(RNG.rand(1, 384, 384, 6).astype(np.float32)),
+        "ref": jnp.asarray(RNG.rand(1, 384, 384, 3).astype(np.float32)),
+        "target": jnp.asarray(RNG.rand(1, 384, 384, 3).astype(np.float32)),
+    }
+    new_state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+    def changed(a, b):
+        return any(
+            float(jnp.abs(x - y).max()) > 0
+            for x, y in zip(jax.tree_util.tree_leaves(a),
+                            jax.tree_util.tree_leaves(b))
+        )
+
+    assert changed(new_state.params["style_conv0"], state.params["style_conv0"])
+    assert not changed(new_state.params["style_encoder"],
+                       state.params["style_encoder"])
+    assert not changed(new_state.params["low_res"], state.params["low_res"])
+
+
+def test_checkpointer_roundtrip(tmp_path):
+    from s2v_tpu.utils.checkpoint import TrainCheckpointer, load_variables, save_variables
+
+    tree = {"a": jnp.arange(8, dtype=jnp.float32), "b": {"c": jnp.ones((2, 2))}}
+    save_variables(str(tmp_path / "weights"), tree)
+    restored = load_variables(str(tmp_path / "weights"), like=tree)
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(8))
+
+    ck = TrainCheckpointer(str(tmp_path / "train"), max_to_keep=2)
+    for step in (1, 2, 3):
+        ck.save(step, {"w": jnp.full((4,), float(step)), "step": jnp.asarray(step)})
+    ck.wait()
+    assert ck.latest_step() == 3
+    got = ck.restore({"w": jnp.zeros((4,)), "step": jnp.asarray(0)})
+    np.testing.assert_array_equal(np.asarray(got["w"]), np.full((4,), 3.0))
+    ck.close()
+
+
+def test_artifact_cache(tmp_path):
+    cache = ArtifactCache(str(tmp_path))
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return np.arange(5, dtype=np.float32)
+
+    a = cache.get_or_compute("vid.mp4", "coeffs", compute)
+    b = cache.get_or_compute("vid.mp4", "coeffs", compute)
+    np.testing.assert_array_equal(a, b)
+    assert len(calls) == 1  # second call hit the cache
+    c = cache.get_or_compute("vid.mp4", "coeffs", compute, refresh=True)
+    assert len(calls) == 2
+    # parameter-dependent key
+    cache.get_or_compute("vid.mp4", "coeffs", compute, params={"fps": 30})
+    assert len(calls) == 3
+    # dict payloads
+    d = cache.get_or_compute(
+        "vid.mp4", "multi", lambda: {"x": np.ones(3), "y": np.zeros(2)}
+    )
+    d2 = cache.get_or_compute("vid.mp4", "multi", lambda: None)
+    np.testing.assert_array_equal(d["x"], d2["x"])
+
+
+def test_diagnostics(tmp_path, capsys):
+    m = AverageMeter()
+    m.update(2.0)
+    m.update(4.0)
+    assert m.avg == 3.0
+    assert float(global_norm({"a": jnp.asarray([3.0, 4.0])})) == 5.0
+    log = ThroughputLogger(str(tmp_path / "log.jsonl"), every=2)
+    log.step(1, 8, {"loss": 1.0})
+    rec = log.step(2, 8, {"loss": 0.5})
+    assert rec is not None and rec["step"] == 2
+    assert (tmp_path / "log.jsonl").exists()
