@@ -25,6 +25,8 @@ def test_arcface_trainer_step_dp_mp():
     )
     images = jnp.asarray(RNG.rand(8, 112, 112, 3).astype(np.float32))
     labels = jnp.asarray(RNG.randint(0, 16, size=8).astype(np.int32))
+    # snapshot before stepping: the step donates its input state buffers
+    before = jax.tree_util.tree_map(np.asarray, state.params)
     with mesh:
         s1, m1 = step_fn(state, images, labels)
         s2, m2 = step_fn(s1, images, labels)
@@ -32,7 +34,7 @@ def test_arcface_trainer_step_dp_mp():
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
     # parameters actually moved
     diff = jax.tree_util.tree_map(
-        lambda a, b: float(jnp.abs(a - b).max()), state.params, s2.params
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), s2.params, before
     )
     assert max(jax.tree_util.tree_leaves(diff)) > 0
 
