@@ -27,8 +27,15 @@ VGG16_CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
 BLOCK_ENDS = (4, 9, 16, 23)
 
 
+# LPIPS taps (relu1_2, relu2_2, relu3_3, relu4_3, relu5_3)
+LPIPS_ENDS = (4, 9, 16, 23, 30)
+
+
 class VGG16Features(nn.Module):
-    """Returns activations at the reference's four block boundaries."""
+    """Returns activations at the requested block boundaries (defaults to
+    the reference perceptual loss's four; LPIPS uses five)."""
+
+    block_ends: tuple = BLOCK_ENDS
 
     @nn.compact
     def __call__(self, x) -> List[jnp.ndarray]:
@@ -43,9 +50,9 @@ class VGG16Features(nn.Module):
                 layer_idx += 1
                 x = jax.nn.relu(x)
                 layer_idx += 1
-            if layer_idx in BLOCK_ENDS:
+            if layer_idx in self.block_ends:
                 outs.append(x)
-            if layer_idx >= BLOCK_ENDS[-1]:
+            if layer_idx >= self.block_ends[-1]:
                 break
         return outs
 
@@ -79,7 +86,7 @@ def vgg_perceptual_loss(
     return loss
 
 
-def convert_vgg16_features(sd) -> dict:
+def convert_vgg16_features(sd, last_layer: int = BLOCK_ENDS[-1]) -> dict:
     """torchvision vgg16 state_dict ('features.N.weight') -> flax params."""
     import numpy as np
 
@@ -97,6 +104,44 @@ def convert_vgg16_features(sd) -> dict:
             break
         params[f"conv{layer_idx}"] = v.conv(name)
         layer_idx += 2
-        if layer_idx >= BLOCK_ENDS[-1]:
+        if layer_idx >= last_layer:
             break
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (reference: third_part/GPEN/training/lpips — the validation metric
+# of GPEN's trainer, train_simple.py:111-134)
+# ---------------------------------------------------------------------------
+
+# LPIPS input scaling (lpips networks: shift/scale in [-1, 1] space)
+_LPIPS_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_LPIPS_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def lpips_distance(vgg_variables, lin_weights: List[jnp.ndarray],
+                   a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """LPIPS-VGG distance. a, b: [B,H,W,3] in [-1, 1]; lin_weights: five
+    [C_i] non-negative per-channel weights (the torch 1x1 'lin' heads)."""
+    model = VGG16Features(block_ends=LPIPS_ENDS)
+
+    def prep(x):
+        return (x - jnp.asarray(_LPIPS_SHIFT)) / jnp.asarray(_LPIPS_SCALE)
+
+    fa = model.apply(vgg_variables, prep(a))
+    fb = model.apply(vgg_variables, prep(b))
+    total = 0.0
+    for w, xa, xb in zip(lin_weights, fa, fb):
+        na = xa * jax.lax.rsqrt(jnp.sum(xa * xa, -1, keepdims=True) + 1e-10)
+        nb = xb * jax.lax.rsqrt(jnp.sum(xb * xb, -1, keepdims=True) + 1e-10)
+        d2 = jnp.square(na - nb)  # [B,H,W,C]
+        total = total + jnp.mean(jnp.sum(d2 * w, axis=-1), axis=(1, 2))
+    return total  # [B]
+
+
+def convert_lpips_lin(sd) -> List[np.ndarray]:
+    """lpips checkpoint lin heads ('lin{i}.model.1.weight' [1,C,1,1])."""
+    import numpy as np
+
+    return [np.asarray(sd[f"lin{i}.model.1.weight"]).reshape(-1)
+            for i in range(5)]

@@ -71,3 +71,19 @@ def test_perceptual_loss_runs_and_is_zero_for_identical():
     y = jnp.asarray(RNG.rand(1, 96, 96, 3).astype(np.float32))
     loss = float(vgg_perceptual_loss(variables, x, y, style_layers=(2,)))
     assert np.isfinite(loss) and loss > 0
+
+
+def test_lpips_properties():
+    from s2v_tpu.models.vgg import LPIPS_ENDS, VGG16Features, lpips_distance
+
+    variables = VGG16Features(block_ends=LPIPS_ENDS).init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 64, 64, 3))
+    )
+    lin = [jnp.ones((c,)) * 0.01 for c in (64, 128, 256, 512, 512)]
+    x = jnp.asarray(RNG.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
+    y = jnp.asarray(RNG.rand(2, 64, 64, 3).astype(np.float32) * 2 - 1)
+    d_same = lpips_distance(variables, lin, x, x)
+    d_diff = lpips_distance(variables, lin, x, y)
+    assert d_same.shape == (2,)
+    np.testing.assert_allclose(np.asarray(d_same), 0.0, atol=1e-6)
+    assert (np.asarray(d_diff) > 0).all()
