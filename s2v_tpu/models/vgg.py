@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from typing import List, Sequence
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
