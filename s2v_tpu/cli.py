@@ -144,12 +144,45 @@ def main(argv=None):
         pipe = LipSyncPipeline(cfg, models)
         out = pipe.run(cfg.infer.face, cfg.infer.audio, cfg.infer.outfile)
         print("outfile:", out)
+    elif command == "train":
+        # training.py equivalent: fine-tune ENet style convs on one video
+        import jax.numpy as jnp
+
+        from s2v_tpu.audio import melspectrogram
+        from s2v_tpu.io.audio_io import load_wav
+        from s2v_tpu.io.video_io import VideoReader
+        from s2v_tpu.pipeline.inference import LipSyncPipeline
+        from s2v_tpu.train.data import build_enet_batches
+        from s2v_tpu.train.finetune_enet import finetune
+
+        models = load_models(cfg.infer.checkpoint_dir)
+        pipe = LipSyncPipeline(cfg, models)
+        reader = VideoReader(cfg.infer.face)
+        frames = reader.read_all()
+        fps = reader.fps or cfg.infer.fps
+        lm = pipe.extract_landmarks(frames)
+        frames_256, coords = pipe.ffhq_crop(frames, lm[0])
+        semantic = pipe.extract_coeffs(frames_256,
+                                       pipe.extract_landmarks(frames_256))
+        stabilized = pipe.stabilize(frames_256, semantic)
+        wav = load_wav(cfg.infer.audio, cfg.audio.sample_rate)
+        mel = melspectrogram(jnp.asarray(wav), cfg.audio)
+        batches = build_enet_batches(
+            pipe, stabilized, mel, frames, coords, fps,
+            batch_size=cfg.train.batch_size,
+        )
+        state = finetune(
+            models.enet, batches, cfg.train,
+            checkpoint_dir=f"{cfg.infer.tmp_dir}/enet_ckpt",
+            log_path=f"{cfg.infer.tmp_dir}/train_log.jsonl",
+        )
+        print(f"trained {int(state.step)} steps")
     elif command == "bench":
         import bench
 
         bench.main()
     else:
-        raise SystemExit(f"unknown command {command!r}; use infer")
+        raise SystemExit(f"unknown command {command!r}; use infer|train|bench")
 
 
 if __name__ == "__main__":

@@ -106,14 +106,16 @@ class ParametricFaceModel:
         v2 = face_shape[:, fb[:, 1]]
         v3 = face_shape[:, fb[:, 2]]
         face_norm = jnp.cross(v1 - v2, v2 - v3)
-        face_norm = face_norm / (
-            jnp.linalg.norm(face_norm, axis=-1, keepdims=True) + 1e-12
+        # sqrt(sum + eps) keeps gradients finite for degenerate triangles
+        # (plain x/(||x||+eps) has a NaN gradient at exactly zero)
+        face_norm = face_norm * jax.lax.rsqrt(
+            jnp.sum(face_norm * face_norm, -1, keepdims=True) + 1e-12
         )
         face_norm = jnp.concatenate(
             [face_norm, jnp.zeros((face_shape.shape[0], 1, 3))], axis=1
         )
         vn = jnp.sum(face_norm[:, jnp.asarray(self.d.point_buf)], axis=2)
-        return vn / (jnp.linalg.norm(vn, axis=-1, keepdims=True) + 1e-12)
+        return vn * jax.lax.rsqrt(jnp.sum(vn * vn, -1, keepdims=True) + 1e-12)
 
     def compute_color(self, face_texture, face_norm, gamma):
         b = gamma.shape[0]
