@@ -90,6 +90,17 @@ class LipSyncPipeline:
         self.models = models
         self._jits: Dict[str, Callable] = {}
 
+    def _require(self, *names: str):
+        missing = [n for n in names if getattr(self.models, n) is None]
+        if missing:
+            raise RuntimeError(
+                f"missing model weights for: {', '.join(missing)}. Point "
+                "--checkpoint_dir at a directory with the reference "
+                "checkpoints (s3fd.pth, 2DFAN4.pth, "
+                "face3d_pretrain_epoch_20.pth, DNet.pt, LNet.pth, ENet.pth, "
+                "BFM/, expression.mat) — they are converted on load."
+            )
+
     # ------------------------------------------------------------------
     # Step 1: detection + landmarks (batched)
     # ------------------------------------------------------------------
@@ -123,6 +134,7 @@ class LipSyncPipeline:
 
     def detect_boxes(self, frames_rgb: np.ndarray, batch: int = 8) -> np.ndarray:
         """[N,H,W,3] uint8 RGB -> [N,4] best face boxes (float, unclipped)."""
+        self._require("s3fd")
         run = self._detect_fn()
         out, valid = [], []
         x = frames_rgb.astype(np.float32)
@@ -148,6 +160,7 @@ class LipSyncPipeline:
     def extract_landmarks(self, frames_rgb: np.ndarray, batch: int = 8) -> np.ndarray:
         """[N,H,W,3] uint8 RGB -> [N,68,2] landmarks (KeypointExtractor
         equivalent: S3FD box -> FAN heatmaps -> coords)."""
+        self._require("fan")
         boxes = self.detect_boxes(frames_rgb, batch)
         run = self._fan_fn()
         out = []
@@ -191,6 +204,7 @@ class LipSyncPipeline:
         the regressor forward is batched on device."""
         from PIL import Image
 
+        self._require("recon", "lm3d")
         lm3d = self.models.lm3d
         n = len(frames_256)
         aligned = np.zeros((n, 224, 224, 3), np.float32)
@@ -236,6 +250,7 @@ class LipSyncPipeline:
                   batch: int = 8, one_shot: bool = False) -> np.ndarray:
         """facing.py:135-198: per-frame coeff window, expression hack,
         DNet -> stabilized 256^2 frames (uint8 RGB)."""
+        self._require("dnet", "expression")
         n = len(frames_256)
         expression = self.models.expression
         sem = jnp.asarray(semantic)
@@ -369,6 +384,7 @@ class LipSyncPipeline:
         static: bool = False,
     ) -> np.ndarray:
         """Step 6 (inference.py:259-330, restoration hooks optional)."""
+        self._require("enet")
         cfg = self.cfg
         img_size = cfg.model.img_size
         n_chunks = num_mel_chunks(mel.shape[1], fps)
