@@ -115,27 +115,45 @@ def load_models(checkpoint_dir: str):
 
 
 def main(argv=None):
-    from s2v_tpu.utils.config import from_cli
-
     argv = list(sys.argv[1:] if argv is None else argv)
     command = argv.pop(0) if argv and not argv[0].startswith("--") else "infer"
-    cfg = from_cli([a.replace("--face ", "--infer.face ") for a in argv])
-    # map reference-style flags onto the config tree
-    remap = {}
+
+    # reference-style flat flags (futils/inference_utils.py options()) map
+    # onto infer.*; dotted keys address the config tree directly
+    flat_flags = {
+        "face", "audio", "outfile", "exp_img", "up_face", "fps", "pads",
+        "static", "one_shot", "tmp_dir", "re_preprocess", "checkpoint_dir",
+        "cropped_image", "nosmooth", "without_rl1", "box", "crop",
+        "face_det_batch_size", "lnet_batch_size", "LNet_batch_size",
+    }
+    overrides = {}
     i = 0
     while i < len(argv):
         a = argv[i]
-        if a.startswith("--") and "." not in a:
+        if a.startswith("--"):
             key = a[2:]
-            if key in ("face", "audio", "outfile", "exp_img", "up_face", "fps",
-                       "static", "one_shot", "tmp_dir", "re_preprocess",
-                       "checkpoint_dir", "cropped_image", "nosmooth"):
-                val = argv[i + 1] if i + 1 < len(argv) and not argv[i + 1].startswith("--") else "true"
-                remap[f"infer.{key}"] = val
-        i += 1
-    from s2v_tpu.utils.config import override
+            if "=" in key:
+                key, val = key.split("=", 1)
+                i += 1
+            elif i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+                val = argv[i + 1]
+                i += 2
+            else:
+                val = "true"
+                i += 1
+            if "." in key:
+                overrides[key] = val
+            elif key in flat_flags:
+                if key == "LNet_batch_size":
+                    key = "lnet_batch_size"
+                overrides[f"infer.{key}"] = val
+            else:
+                raise SystemExit(f"unknown flag --{key}")
+        else:
+            i += 1
+    from s2v_tpu.utils.config import PipelineConfig, override
 
-    cfg = override(cfg, remap)
+    cfg = override(PipelineConfig(), overrides)
 
     if command == "infer":
         from s2v_tpu.pipeline.inference import LipSyncPipeline
