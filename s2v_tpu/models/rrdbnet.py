@@ -83,3 +83,44 @@ class RRDBNet(nn.Module):
             resize_nearest(feat, (2 * h, 2 * w))), 0.2)
         feat = lrelu(Conv(self.num_feat, (3, 3), padding=(1, 1), name="conv_hr")(feat), 0.2)
         return Conv(self.num_out_ch, (3, 3), padding=(1, 1), name="conv_last")(feat)
+
+
+def tile_process(apply_fn, img, scale: int, tile_size: int = 256,
+                 tile_pad: int = 10):
+    """Tiled super-resolution (reference: sr_model/real_esrnet.py:32-100 —
+    crops padded tiles, upscales each, merges). Lets BFR-2048-scale inputs
+    stream through fixed-shape jitted programs (every padded tile has the
+    same static shape, so one compilation serves all tiles).
+
+    apply_fn: [1, th, tw, 3] -> [1, th*scale, tw*scale, 3]. img: [B, H, W, 3].
+    """
+    import math
+
+    import numpy as np
+
+    b, h, w, c = img.shape
+    out = np.zeros((b, h * scale, w * scale, c), np.float32)
+    tiles_x = math.ceil(w / tile_size)
+    tiles_y = math.ceil(h / tile_size)
+    th = min(tile_size + 2 * tile_pad, h)
+    tw = min(tile_size + 2 * tile_pad, w)
+
+    for y in range(tiles_y):
+        for x in range(tiles_x):
+            sx = x * tile_size
+            sy = y * tile_size
+            ex = min(sx + tile_size, w)
+            ey = min(sy + tile_size, h)
+            # padded input window, clamped to the image but with a STATIC
+            # (th, tw) shape so the jitted apply compiles once
+            py0 = min(max(sy - tile_pad, 0), h - th)
+            px0 = min(max(sx - tile_pad, 0), w - tw)
+            tile = img[:, py0 : py0 + th, px0 : px0 + tw, :]
+            up = np.asarray(apply_fn(tile))
+            # position of the output region inside the upscaled tile
+            oy = (sy - py0) * scale
+            ox = (sx - px0) * scale
+            out[:, sy * scale : ey * scale, sx * scale : ex * scale, :] = up[
+                :, oy : oy + (ey - sy) * scale, ox : ox + (ex - sx) * scale, :
+            ]
+    return out

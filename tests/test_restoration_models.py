@@ -91,3 +91,18 @@ def test_pixel_unshuffle_matches_torch():
     ).numpy()
     got = np.asarray(pixel_unshuffle(jnp.asarray(x), 2)).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_tile_process_matches_whole_image():
+    """Tiling a linear 'SR' model reproduces the untiled result exactly for
+    interior-consistent ops (here: nearest x2 upsample)."""
+    from s2v_tpu.models.rrdbnet import tile_process
+
+    img = RNG.rand(1, 70, 50, 3).astype(np.float32)
+
+    def sr(tile):
+        return np.repeat(np.repeat(tile, 2, axis=1), 2, axis=2)
+
+    out = tile_process(sr, img, scale=2, tile_size=32, tile_pad=4)
+    want = sr(img)
+    np.testing.assert_allclose(out, want, rtol=1e-6, atol=1e-6)
