@@ -417,9 +417,10 @@ class LipSyncPipeline:
 
         run = self._enet_fn()
         batch = cfg.infer.lnet_batch_size
-        out_frames = []
-        for start in range(0, n_chunks, batch):
-            idxs = [frame_index(i) for i in range(start, min(start + batch, n_chunks))]
+
+        def assemble(start):
+            idxs = [frame_index(i)
+                    for i in range(start, min(start + batch, n_chunks))]
             face_batch, ref_batch, mel_batch, orig_batch = [], [], [], []
             for i in idxs:
                 x1, y1, x2, y2 = boxes[i]
@@ -454,13 +455,15 @@ class LipSyncPipeline:
                 jnp.asarray(np.stack(mel_batch))[..., None],
                 jnp.asarray(face_np),
                 jnp.asarray(np.stack(ref_batch)),
-            )
-            pred = np.asarray(pred)
+            )  # async: JAX dispatch returns immediately, device runs ahead
+            return idxs, face_np, np.stack(orig_batch), pred
+
+        def drain(idxs, face_np, orig, pred):
+            pred = np.asarray(pred)  # sync point for THIS batch only
 
             # upper-face edit + masked composite (inference.py:269-286):
             # GANimation only takes effect through the --without_rl1 path
             if cfg.infer.without_rl1:
-                orig = np.stack(orig_batch)
                 if self.models.up_face_editor is not None:
                     cur = self.models.up_face_editor(orig)
                 else:
@@ -469,7 +472,7 @@ class LipSyncPipeline:
                 pred = pred * mask + cur * (1.0 - mask)
 
             pred = pred[: len(idxs)] * 255.0
-
+            outs = []
             for k, i in enumerate(idxs):
                 x1, y1, x2, y2 = boxes[i]
                 p = np.asarray(
@@ -481,7 +484,23 @@ class LipSyncPipeline:
                     ff = self.models.mouth_restorer(ff, (y1, y2, x1, x2))
                 if self.models.final_enhancer is not None:
                     ff = self.models.final_enhancer(ff)
-                out_frames.append(np.clip(ff, 0, 255).astype(np.uint8))
+                outs.append(np.clip(ff, 0, 255).astype(np.uint8))
+            return outs
+
+        # double-buffered: keep up to `inflight` device batches queued so
+        # Step-6 compute overlaps the host-side paste-back (the reference
+        # serializes them; SURVEY §7 step 8)
+        from collections import deque
+
+        inflight = 2
+        queue: deque = deque()
+        out_frames = []
+        for start in range(0, n_chunks, batch):
+            queue.append(assemble(start))
+            if len(queue) > inflight:
+                out_frames.extend(drain(*queue.popleft()))
+        while queue:
+            out_frames.extend(drain(*queue.popleft()))
         return np.stack(out_frames)
 
     # ------------------------------------------------------------------

@@ -123,13 +123,24 @@ class PipelineConfig:
 def _coerce(ftype: Any, value: Any) -> Any:
     if value is None:
         return None
+    # `from __future__ import annotations` makes dataclass field types
+    # strings — resolve the common scalar names
+    if isinstance(ftype, str):
+        base = ftype.split("[")[0]
+        ftype = {"int": int, "float": float, "str": str, "bool": bool,
+                 "Tuple": tuple, "tuple": tuple}.get(base, ftype)
     origin = getattr(ftype, "__origin__", None)
-    if origin in (tuple, Tuple):
+    if origin in (tuple, Tuple) or ftype is tuple:
+        if isinstance(value, str):
+            value = [v for v in value.replace(",", " ").split() if v]
+            value = [int(v) if v.lstrip("-").isdigit() else float(v)
+                     for v in value]
         return tuple(value)
     if ftype is bool and isinstance(value, str):
         return value.lower() in ("1", "true", "yes", "on")
     if ftype in (int, float, str):
-        return ftype(value)
+        return ftype(float(value)) if ftype is int and isinstance(value, str) \
+            and "." in value else ftype(value)
     return value
 
 
