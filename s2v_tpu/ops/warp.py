@@ -98,3 +98,31 @@ def warp_image(source: jnp.ndarray, deformation: jnp.ndarray) -> jnp.ndarray:
     if (hd, wd) != (h, w):
         deformation = resize_bilinear(deformation, (h, w))
     return grid_sample_bilinear(source, deformation)
+
+
+def crop_resize_boxes(images: jnp.ndarray, boxes, out_hw) -> jnp.ndarray:
+    """Batched per-frame box crop + bilinear resize via one grid sample.
+
+    images: [N, H, W, C]; boxes: [N, 4] (x1, y1, x2, y2) ints/floats;
+    out_hw: static (oh, ow). Equivalent to resizing each crop with torch
+    bilinear align_corners=False (edge behavior samples true neighboring
+    image pixels instead of clamping at the crop border — sub-pixel
+    difference on the outermost ring only).
+    """
+    import numpy as np
+
+    n, h, w, _ = images.shape
+    oh, ow = out_hw
+    boxes = jnp.asarray(boxes, jnp.float32)
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    tx = (jnp.arange(ow, dtype=jnp.float32) + 0.5) / ow
+    ty = (jnp.arange(oh, dtype=jnp.float32) + 0.5) / oh
+    sx = x1[:, None] + tx[None, :] * (x2 - x1)[:, None] - 0.5  # [N, ow]
+    sy = y1[:, None] + ty[None, :] * (y2 - y1)[:, None] - 0.5  # [N, oh]
+    gx = (2.0 * sx + 1.0) / w - 1.0
+    gy = (2.0 * sy + 1.0) / h - 1.0
+    grid = jnp.stack(
+        [jnp.broadcast_to(gx[:, None, :], (n, oh, ow)),
+         jnp.broadcast_to(gy[:, :, None], (n, oh, ow))], axis=-1
+    )
+    return grid_sample_bilinear(images, grid)

@@ -321,58 +321,65 @@ class LipSyncPipeline:
                               coordinates, boxes: np.ndarray) -> np.ndarray:
         """datagen's reference construction (inference.py:341-367):
         re-align each stabilized 256^2 face, paste into the full frame via
-        the inverse perspective transform, then cut the detector box."""
+        the inverse perspective transform, then cut the detector box.
+
+        TPU-first: the per-frame geometry (quads, homography solves, sample
+        grids) is tiny numpy; all image resampling runs as THREE batched
+        device programs over the whole clip (QUAD warp, perspective paste,
+        box crop-resize) instead of the reference's per-frame PIL/cv2 loop.
+
+        Returns [N, img_size, img_size, 3] float reference crops.
+        """
+        from s2v_tpu.ops.warp import crop_resize_boxes
+
         n = len(stabilized)
         oy1, oy2, ox1, ox2 = [int(v) for v in coordinates]
         lms = self.extract_landmarks(stabilized)
         image_size = 256
+        img_size = self.cfg.model.img_size
+        square = [[0, 0], [0, image_size], [image_size, image_size],
+                  [image_size, 0]]
 
-        refs = []
-        square = [[0, 0], [0, image_size], [image_size, image_size], [image_size, 0]]
+        # per-frame geometry on host (floats only)
+        quad_grids = np.zeros((n, image_size, image_size, 2), np.float32)
+        pgrids = np.zeros((n, image_size, image_size, 2), np.float32)
         for i in range(n):
             c, x, y = compute_transform(lms[i].astype(np.float64), scale=1.0)
             quad = quad_from_cxy(c, x, y)
             crop_box, quad_adj = crop_quad_params(
                 quad, (image_size, image_size), image_size
             )
-            # crop the stabilized frame region then QUAD-resample to 256^2
-            sub = stabilized[i][crop_box[1]:crop_box[3], crop_box[0]:crop_box[2]]
-            grid = quad_sample_grid(quad_adj, image_size, sub.shape[:2])
-            crop_img = np.asarray(
-                warp_by_grid(jnp.asarray(sub[None].astype(np.float32)),
-                             jnp.asarray(grid))
-            )[0]
-
-            # inverse transform back onto the (resized) original region
-            inv = calc_alignment_coefficients(
-                (quad_adj + np.asarray(crop_box[:2])) - 0.0, square
+            # QUAD warp sampled from the FULL stabilized frame (crop offset
+            # folded into the quad) — one batched gather later
+            quad_full = quad_adj + np.asarray(crop_box[:2], np.float64)
+            quad_grids[i] = quad_sample_grid(
+                quad_full, image_size, stabilized.shape[1:3]
             )
-            region = full_frames[i, oy1:oy2, ox1:ox2]
-            region_256 = np.asarray(
-                resize_bilinear(
-                    jnp.asarray(region[None].astype(np.float32)), (256, 256)
-                )
-            )[0]
-            pgrid = perspective_sample_grid(inv, (256, 256), (image_size, image_size))
-            projected = np.asarray(
-                warp_by_grid(jnp.asarray(crop_img[None]), jnp.asarray(pgrid))
-            )[0]
-            mask = np.asarray(
-                warp_by_grid(
-                    jnp.ones((1, image_size, image_size, 1), jnp.float32),
-                    jnp.asarray(pgrid),
-                )
-            )[0]
-            pasted = projected * mask + region_256 * (1 - mask)
+            inv = calc_alignment_coefficients(quad_full, square)
+            pgrids[i] = perspective_sample_grid(
+                inv, (image_size, image_size), (image_size, image_size)
+            )
 
-            ff = full_frames[i].astype(np.float32).copy()
-            back = np.asarray(
-                resize_bilinear(jnp.asarray(pasted[None]), (oy2 - oy1, ox2 - ox1))
-            )[0]
-            ff[oy1:oy2, ox1:ox2] = back
-            x1, y1, x2, y2 = [int(v) for v in boxes[i]]
-            refs.append(np.clip(ff[y1:y2, x1:x2], 0, 255))
-        return refs
+        stab_dev = jnp.asarray(stabilized.astype(np.float32))
+        crops = warp_by_grid(stab_dev, jnp.asarray(quad_grids))  # [N,256,256,3]
+
+        region = full_frames[:n, oy1:oy2, ox1:ox2].astype(np.float32)
+        region_256 = resize_bilinear(jnp.asarray(region), (256, 256))
+        projected = warp_by_grid(crops, jnp.asarray(pgrids))
+        mask = warp_by_grid(
+            jnp.ones((n, image_size, image_size, 1), jnp.float32),
+            jnp.asarray(pgrids),
+        )
+        pasted = projected * mask + region_256 * (1 - mask)
+        back = np.asarray(
+            jnp.clip(resize_bilinear(pasted, (oy2 - oy1, ox2 - ox1)), 0, 255)
+        )
+
+        ff = full_frames[:n].astype(np.float32).copy()
+        ff[:, oy1:oy2, ox1:ox2] = back
+        refs = crop_resize_boxes(jnp.asarray(ff), boxes[:, [0, 1, 2, 3]],
+                                 (img_size, img_size))
+        return np.asarray(jnp.clip(refs, 0, 255))
 
     def synthesize(
         self,
@@ -418,45 +425,32 @@ class LipSyncPipeline:
         run = self._enet_fn()
         batch = cfg.infer.lnet_batch_size
 
+        from s2v_tpu.ops.warp import crop_resize_boxes
+
         def assemble(start):
             idxs = [frame_index(i)
                     for i in range(start, min(start + batch, n_chunks))]
-            face_batch, ref_batch, mel_batch, orig_batch = [], [], [], []
-            for i in idxs:
-                x1, y1, x2, y2 = boxes[i]
-                oface = full_frames_t[i, y1:y2, x1:x2]
-                oface = np.asarray(
-                    resize_bilinear(
-                        jnp.asarray(oface[None].astype(np.float32)),
-                        (img_size, img_size),
-                    )
-                )[0]
-                ref = np.asarray(
-                    resize_bilinear(
-                        jnp.asarray(refs[i][None].astype(np.float32)),
-                        (img_size, img_size),
-                    )
-                )[0]
-                masked = oface.copy()
-                masked[img_size // 2 :] = 0  # lower-half mask (inference.py:397)
-                face_batch.append(np.concatenate([masked, ref], axis=-1) / 255.0)
-                ref_batch.append(ref / 255.0)
-                orig_batch.append(oface / 255.0)
-                mel_batch.append(chunks[i])
-            pad = batch - len(idxs)
-            if pad:
-                face_batch += [face_batch[-1]] * pad
-                ref_batch += [ref_batch[-1]] * pad
-                orig_batch += [orig_batch[-1]] * pad
-                mel_batch = list(mel_batch) + [mel_batch[-1]] * pad
-            face_np = np.stack(face_batch)
+            padded = idxs + [idxs[-1]] * (batch - len(idxs))
+            # batched box crops (one grid-sample) instead of per-frame host
+            # resizes (inference.py:383-399 equivalent)
+            ofaces = np.asarray(
+                crop_resize_boxes(
+                    jnp.asarray(full_frames_t[padded].astype(np.float32)),
+                    boxes[padded], (img_size, img_size),
+                )
+            ) / 255.0
+            ref_batch = refs[padded] / 255.0
+            masked = ofaces.copy()
+            masked[:, img_size // 2 :] = 0  # lower-half mask (inference.py:397)
+            face_np = np.concatenate([masked, ref_batch], axis=-1)
+            mel_batch = chunks[padded]
             pred = run(
                 self.models.enet,
-                jnp.asarray(np.stack(mel_batch))[..., None],
+                jnp.asarray(mel_batch)[..., None],
                 jnp.asarray(face_np),
-                jnp.asarray(np.stack(ref_batch)),
+                jnp.asarray(ref_batch),
             )  # async: JAX dispatch returns immediately, device runs ahead
-            return idxs, face_np, np.stack(orig_batch), pred
+            return idxs, face_np, ofaces, pred
 
         def drain(idxs, face_np, orig, pred):
             pred = np.asarray(pred)  # sync point for THIS batch only

@@ -44,31 +44,26 @@ def build_enet_batches(
         stabilized[:n], full_frames[:n], coordinates, boxes
     )
 
+    from s2v_tpu.ops.warp import crop_resize_boxes
+
+    ofaces = np.asarray(
+        crop_resize_boxes(
+            jnp.asarray(full_frames[:n].astype(np.float32)), boxes[:n],
+            (img_size, img_size),
+        )
+    ) / 255.0
+    refs = refs[:n] / 255.0
+    masked = ofaces.copy()
+    masked[:, img_size // 2:] = 0
+    faces = np.concatenate([masked, refs], axis=-1)
+
     batches = []
-    cur: Dict[str, List] = {"mel": [], "face": [], "ref": [], "target": []}
-    for i in range(n):
-        x1, y1, x2, y2 = boxes[i]
-        oface = np.asarray(
-            resize_bilinear(
-                jnp.asarray(full_frames[i, y1:y2, x1:x2][None].astype(np.float32)),
-                (img_size, img_size),
-            )
-        )[0] / 255.0
-        ref = np.asarray(
-            resize_bilinear(
-                jnp.asarray(refs[i][None].astype(np.float32)),
-                (img_size, img_size),
-            )
-        )[0] / 255.0
-        masked = oface.copy()
-        masked[img_size // 2:] = 0
-        cur["mel"].append(chunks[i][..., None])
-        cur["face"].append(np.concatenate([masked, ref], axis=-1))
-        cur["ref"].append(ref)
-        cur["target"].append(oface)
-        if len(cur["mel"]) == batch_size:
-            batches.append({k: np.stack(v) for k, v in cur.items()})
-            cur = {k: [] for k in cur}
-    if cur["mel"]:
-        batches.append({k: np.stack(v) for k, v in cur.items()})
+    for s in range(0, n, batch_size):
+        e = min(s + batch_size, n)
+        batches.append({
+            "mel": chunks[s:e][..., None],
+            "face": faces[s:e],
+            "ref": refs[s:e],
+            "target": ofaces[s:e],
+        })
     return batches

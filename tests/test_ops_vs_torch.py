@@ -136,3 +136,23 @@ def test_reflect_pad_matches_torch():
     want = to_nhwc(F.pad(nchw(x), (2, 2, 2, 2), mode="reflect"))
     got = np.asarray(reflect_pad_2d(jnp.asarray(x), 2))
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_crop_resize_boxes_matches_per_frame_resize():
+    from s2v_tpu.ops.warp import crop_resize_boxes
+
+    imgs = RNG.rand(3, 60, 80, 3).astype(np.float32)
+    boxes = np.asarray([[5, 10, 55, 50], [0, 0, 80, 60], [20, 5, 44, 37]],
+                       np.float32)
+    got = np.asarray(crop_resize_boxes(jnp.asarray(imgs), boxes, (32, 32)))
+    for i, (x1, y1, x2, y2) in enumerate(boxes.astype(int)):
+        want = to_nhwc(
+            F.interpolate(
+                nchw(imgs[i : i + 1, y1:y2, x1:x2]), size=(32, 32),
+                mode="bilinear", align_corners=False,
+            )
+        )[0]
+        # interior matches exactly; the border ring may sample true image
+        # neighbors instead of crop-clamped pixels
+        np.testing.assert_allclose(got[i, 1:-1, 1:-1], want[1:-1, 1:-1],
+                                   rtol=1e-4, atol=1e-4)
