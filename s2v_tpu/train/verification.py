@@ -118,3 +118,63 @@ class VerificationCallback:
         self.best_acc = max(self.best_acc, acc)
         return {"step": step, f"{self.name}_acc": acc,
                 f"{self.name}_std": std, "best_acc": self.best_acc}
+
+
+# ---------------------------------------------------------------------------
+# IJB-C protocol (reference: arcface_torch/eval_ijbc.py:212-290)
+# ---------------------------------------------------------------------------
+
+
+def image2template_feature(img_feats: np.ndarray, templates: np.ndarray,
+                           medias: np.ndarray):
+    """eval_ijbc.py:212-249: pool image features to media features (videos
+    average), then media features to L2-normalized template features.
+
+    Returns (template_feats [T, E], unique_templates [T])."""
+    unique_templates = np.unique(templates)
+    template_feats = np.zeros((len(unique_templates), img_feats.shape[1]))
+    for count, uqt in enumerate(unique_templates):
+        (ind_t,) = np.where(templates == uqt)
+        face_feats = img_feats[ind_t]
+        face_medias = medias[ind_t]
+        uniq_m, uniq_ct = np.unique(face_medias, return_counts=True)
+        media_feats = []
+        for u, ct in zip(uniq_m, uniq_ct):
+            (ind_m,) = np.where(face_medias == u)
+            if ct == 1:
+                media_feats.append(face_feats[ind_m])
+            else:
+                media_feats.append(face_feats[ind_m].mean(0, keepdims=True))
+        media_feats = np.concatenate(media_feats, 0)
+        template_feats[count] = media_feats.sum(0)
+    norm = np.linalg.norm(template_feats, axis=1, keepdims=True) + 1e-12
+    return template_feats / norm, unique_templates
+
+
+def template_verification_scores(template_feats: np.ndarray,
+                                 unique_templates: np.ndarray,
+                                 p1: np.ndarray, p2: np.ndarray) -> np.ndarray:
+    """eval_ijbc.py:252-279: cosine score per template pair."""
+    template2id = np.zeros(int(unique_templates.max()) + 1, np.int64)
+    template2id[unique_templates] = np.arange(len(unique_templates))
+    f1 = template_feats[template2id[p1]]
+    f2 = template_feats[template2id[p2]]
+    return np.sum(f1 * f2, -1)
+
+
+def tar_at_far(scores: np.ndarray, labels: np.ndarray,
+               far_targets=(1e-6, 1e-5, 1e-4, 1e-3, 1e-2, 1e-1)):
+    """ROC points the IJB-C table reports: TAR at fixed FARs."""
+    scores = np.asarray(scores)
+    labels = np.asarray(labels, bool)
+    neg = np.sort(scores[~labels])[::-1]
+    pos = scores[labels]
+    out = {}
+    for far in far_targets:
+        k = max(int(far * len(neg)), 1) - 1
+        if len(neg) == 0:
+            out[far] = 1.0
+            continue
+        thr = neg[min(k, len(neg) - 1)]
+        out[far] = float(np.mean(pos > thr))
+    return out

@@ -72,3 +72,42 @@ def test_extract_embeddings_and_callback():
     assert cb(1, embed_fn) is None
     rec = cb(2, embed_fn)
     assert rec is not None and "val_acc" in rec
+
+
+def test_ijbc_template_pooling_and_tar():
+    from s2v_tpu.train.verification import (
+        image2template_feature,
+        tar_at_far,
+        template_verification_scores,
+    )
+
+    e = 8
+    # two identities, two templates each; videos (media) pooled first
+    ids = {10: RNG.randn(e), 20: RNG.randn(e)}
+    feats, templates, medias = [], [], []
+    for t, ident, media_list in [(10, 10, [0, 0, 1]), (11, 10, [2]),
+                                 (20, 20, [3, 4]), (21, 20, [5, 5, 5])]:
+        for m in media_list:
+            feats.append(ids[ident] + RNG.randn(e) * 0.05)
+            templates.append(t)
+            medias.append(m)
+    feats = np.asarray(feats)
+    templates = np.asarray(templates)
+    medias = np.asarray(medias)
+
+    tf, uq = image2template_feature(feats, templates, medias)
+    assert tf.shape == (4, e)
+    np.testing.assert_allclose(np.linalg.norm(tf, axis=1), 1.0, rtol=1e-6)
+
+    p1 = np.asarray([10, 10, 20, 10])
+    p2 = np.asarray([11, 20, 21, 21])
+    labels = np.asarray([1, 0, 1, 0], bool)
+    scores = template_verification_scores(tf, uq, p1, p2)
+    # same-identity template pairs score higher
+    assert scores[labels].min() > scores[~labels].max()
+
+    big_scores = np.concatenate([RNG.randn(1000) + 3, RNG.randn(1000)])
+    big_labels = np.concatenate([np.ones(1000, bool), np.zeros(1000, bool)])
+    tars = tar_at_far(big_scores, big_labels, far_targets=(1e-2, 1e-1))
+    assert 0.9 < tars[1e-1] <= 1.0
+    assert tars[1e-2] <= tars[1e-1]
