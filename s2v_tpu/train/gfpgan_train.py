@@ -120,3 +120,113 @@ def make_gfpgan_g_loss(
         return loss, metrics
 
     return loss_fn
+
+
+# ---------------------------------------------------------------------------
+# Assembled training loop (gfpgan_model.py optimize_parameters flow)
+# ---------------------------------------------------------------------------
+
+
+def make_gfpgan_trainer(
+    gen_apply: Callable,       # (g_params, lq) -> restored
+    disc_apply: Callable,      # (d_params, img) -> [B,1] logits
+    comp_apply: Callable,      # (c_params, crop, return_feats) -> (out, feats)
+    g_params: Any,
+    d_params: Any,
+    comp_params: Dict[str, Any],   # left_eye / right_eye / mouth
+    vgg_loss_fn: Optional[Callable] = None,
+    id_embed_fn: Optional[Callable] = None,
+    g_lr: float = 2e-3,
+    d_lr: float = 2e-3,
+    roi_sizes: Optional[Dict[str, int]] = None,
+    net_d_iters: int = 1,
+    net_d_init_iters: int = 0,
+):
+    """GFPGANModel.optimize_parameters (gfpgan_model.py:283-450): one G step
+    (pixel + perceptual + global/component GAN + component style + id) and
+    one global-D + per-component-D step.
+
+    Batches: dict(lq, gt [B,S,S,3] in [-1,1], loc_{name} [B,2] ROI centers).
+    Returns (state dict, g_step, d_step).
+    """
+    import optax
+
+    from flax import struct
+
+    roi_sizes = roi_sizes or {"left_eye": 80, "right_eye": 80, "mouth": 120}
+    g_tx = optax.adam(g_lr, b1=0.9, b2=0.99)
+    d_tx = optax.adam(d_lr, b1=0.9, b2=0.99)
+
+    comp_fns = {
+        name: ((lambda p, x, rf, _n=name: comp_apply(p, x, rf)),
+               comp_params[name])
+        for name in comp_params
+    }
+
+    def rois_for(fake, real, batch):
+        out = {}
+        for name, size in roi_sizes.items():
+            centers = batch[f"loc_{name}"]
+            out[name] = (roi_crop(fake, centers, size),
+                         roi_crop(real, centers, size))
+        return out
+
+    g_loss_core = make_gfpgan_g_loss(
+        disc_apply,
+        {n: (fn, p) for n, (fn, p) in comp_fns.items()},
+        vgg_loss_fn=vgg_loss_fn, id_embed_fn=id_embed_fn,
+    )
+
+    def g_loss_fn(g_params, d_params, batch):
+        fake = gen_apply(g_params, batch["lq"])
+        rois = rois_for(fake, batch["gt"], batch)
+        return g_loss_core(fake, batch["gt"], d_params, rois)
+
+    def d_loss_fn(d_params, comp_ps, g_params, batch):
+        from s2v_tpu.train.gan import d_logistic_loss
+
+        fake = jax.lax.stop_gradient(gen_apply(g_params, batch["lq"]))
+        loss = d_logistic_loss(
+            disc_apply(d_params, batch["gt"]), disc_apply(d_params, fake)
+        )
+        metrics = {"d_global": loss}
+        rois = rois_for(fake, batch["gt"], batch)
+        for name in comp_ps:
+            fcrop, rcrop = rois[name]
+            pred_r, _ = comp_apply(comp_ps[name], rcrop, False)
+            pred_f, _ = comp_apply(comp_ps[name], fcrop, False)
+            l = d_logistic_loss(pred_r, pred_f)
+            loss = loss + l
+            metrics[f"d_{name}"] = l
+        metrics["d_total"] = loss
+        return loss, metrics
+
+    state = {
+        "g": g_params, "d": d_params, "comp": comp_params,
+        "g_opt": g_tx.init(g_params),
+        "d_opt": d_tx.init((d_params, comp_params)),
+        "step": 0,
+    }
+
+    @jax.jit
+    def g_step(state, batch):
+        (_, metrics), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state["g"], state["d"], batch
+        )
+        upd, g_opt = g_tx.update(grads, state["g_opt"], state["g"])
+        state = dict(state, g=optax.apply_updates(state["g"], upd),
+                     g_opt=g_opt, step=state["step"] + 1)
+        return state, metrics
+
+    @jax.jit
+    def d_step(state, batch):
+        (_, metrics), grads = jax.value_and_grad(
+            lambda dc, g, b: d_loss_fn(dc[0], dc[1], g, b), has_aux=True
+        )((state["d"], state["comp"]), state["g"], batch)
+        upd, d_opt = d_tx.update(grads, state["d_opt"],
+                                 (state["d"], state["comp"]))
+        new_d, new_comp = optax.apply_updates((state["d"], state["comp"]), upd)
+        state = dict(state, d=new_d, comp=new_comp, d_opt=d_opt)
+        return state, metrics
+
+    return state, g_step, d_step

@@ -79,3 +79,43 @@ def test_g_loss_composes():
                                    {"mouth": (f[:, 8:24, 8:24],
                                               real[:, 8:24, 8:24])})[0])(fake)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_gfpgan_trainer_steps():
+    from s2v_tpu.train.gfpgan_train import make_gfpgan_trainer
+
+    rng = jax.random.PRNGKey(3)
+    comp = FacialComponentDiscriminator()
+    size = 64
+
+    def gen_apply(p, lq):  # trivial differentiable generator
+        return jnp.tanh(lq * p["s"] + p["b"])
+
+    def disc_apply(p, x):
+        return jnp.sum(x * p, axis=(1, 2, 3))[:, None]
+
+    cvars = {
+        name: comp.init(rng, jnp.zeros((1, 16, 16, 3)))
+        for name in ("mouth",)
+    }
+
+    def comp_apply(p, x, return_feats):
+        return comp.apply(p, x, return_feats)
+
+    g_params = {"s": jnp.ones(()), "b": jnp.zeros(())}
+    d_params = jnp.full((1, size, size, 3), 0.01)
+    state, g_step, d_step = make_gfpgan_trainer(
+        gen_apply, disc_apply, comp_apply, g_params, d_params, cvars,
+        vgg_loss_fn=lambda a, b: jnp.mean(jnp.abs(a - b)),
+        roi_sizes={"mouth": 16},
+    )
+    batch = {
+        "lq": jnp.asarray(RNG.rand(2, size, size, 3).astype(np.float32) * 2 - 1),
+        "gt": jnp.asarray(RNG.rand(2, size, size, 3).astype(np.float32) * 2 - 1),
+        "loc_mouth": jnp.asarray([[32.0, 40.0], [30.0, 44.0]]),
+    }
+    state, gm = g_step(state, batch)
+    state, dm = d_step(state, batch)
+    assert np.isfinite(float(gm["g_total"]))
+    assert np.isfinite(float(dm["d_total"]))
+    assert float(state["g"]["s"]) != 1.0  # generator updated
