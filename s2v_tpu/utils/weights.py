@@ -830,3 +830,27 @@ def convert_iresnet(sd: Dict[str, np.ndarray], layers=(3, 4, 14, 3),
     stats["features_mean"] = v.get("features.running_mean")
     stats["features_var"] = v.get("features.running_var")
     return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# SyncNet (wav2lip SyncNet_color: face_encoder / audio_encoder Conv2d stacks)
+# --------------------------------------------------------------------------
+
+def convert_syncnet(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """wav2lip syncnet checkpoint -> s2v_tpu.pipeline.metrics.SyncNet vars.
+
+    Torch layout: face_encoder.{i}.conv_block.{0 conv,1 bn},
+    audio_encoder.{i}.conv_block.{0,1} — matching the module's layer specs
+    (15 face convs, 14 audio convs)."""
+    v = SDView(sd, prefix)
+    params: Dict = {}
+    stats: Dict = {}
+    for enc, n, out_prefix in (("face_encoder", 15, "face"),
+                               ("audio_encoder", 14, "audio")):
+        for i in range(n):
+            blk = v.sub(f"{enc}.{i}")
+            bn_p, bn_s = blk.bn("conv_block.1")
+            params[f"{out_prefix}{i}"] = {"conv": blk.conv("conv_block.0"),
+                                          "bn": bn_p}
+            stats[f"{out_prefix}{i}"] = {"bn": bn_s}
+    return {"params": params, "batch_stats": stats}

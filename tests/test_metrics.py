@@ -50,3 +50,75 @@ def test_lse_metrics_prefer_synced():
     d_off, c_off = lse_metrics(shifted, audio)
     assert d_sync < d_off          # synced pairs are closer
     assert c_sync > 0
+
+
+def test_syncnet_converter_parity():
+    """Parity vs a torch twin of wav2lip's SyncNet_color."""
+    import torch
+    import torch.nn as tnn
+
+    from s2v_tpu.utils.weights import convert_syncnet
+
+    class TConv(tnn.Module):
+        def __init__(self, cin, cout, k, s, p, residual=False):
+            super().__init__()
+            self.conv_block = tnn.Sequential(
+                tnn.Conv2d(cin, cout, k, s, p), tnn.BatchNorm2d(cout)
+            )
+            self.act = tnn.ReLU()
+            self.residual = residual
+
+        def forward(self, x):
+            out = self.conv_block(x)
+            if self.residual:
+                out = out + x
+            return self.act(out)
+
+    face_specs = [
+        (15, 32, 7, 1, 3, False),
+        (32, 64, 5, (1, 2), 1, False), (64, 64, 3, 1, 1, True), (64, 64, 3, 1, 1, True),
+        (64, 128, 3, 2, 1, False), (128, 128, 3, 1, 1, True), (128, 128, 3, 1, 1, True),
+        (128, 256, 3, 2, 1, False), (256, 256, 3, 1, 1, True), (256, 256, 3, 1, 1, True),
+        (256, 512, 3, 2, 1, False), (512, 512, 3, 1, 1, True), (512, 512, 3, 1, 1, True),
+        (512, 512, 3, 2, 1, False), (512, 512, 3, 1, 0, False),
+    ]
+    audio_specs = [
+        (1, 32, 3, 1, 1, False), (32, 32, 3, 1, 1, True), (32, 32, 3, 1, 1, True),
+        (32, 64, 3, (3, 1), 1, False), (64, 64, 3, 1, 1, True), (64, 64, 3, 1, 1, True),
+        (64, 128, 3, 3, 1, False), (128, 128, 3, 1, 1, True), (128, 128, 3, 1, 1, True),
+        (128, 256, 3, (3, 2), 1, False), (256, 256, 3, 1, 1, True), (256, 256, 3, 1, 1, True),
+        (256, 512, 3, 1, 0, False), (512, 512, 1, 1, 0, False),
+    ]
+
+    class TSync(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.face_encoder = tnn.Sequential(
+                *[TConv(*s) for s in face_specs])
+            self.audio_encoder = tnn.Sequential(
+                *[TConv(*s) for s in audio_specs])
+
+        def forward(self, face, mel):
+            f = self.face_encoder(face).flatten(1)
+            a = self.audio_encoder(mel).flatten(1)
+            return (torch.nn.functional.normalize(f, dim=1),
+                    torch.nn.functional.normalize(a, dim=1))
+
+    torch.manual_seed(81)
+    ref = TSync().eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_syncnet(sd)
+
+    face = RNG.rand(2, 48, 96, 15).astype(np.float32)
+    mel = RNG.rand(2, 80, 16, 1).astype(np.float32)
+    with torch.no_grad():
+        wf, wa = ref(
+            torch.from_numpy(np.ascontiguousarray(face.transpose(0, 3, 1, 2))),
+            torch.from_numpy(np.ascontiguousarray(mel.transpose(0, 3, 1, 2))),
+        )
+    gf, ga = SyncNet().apply(
+        jax.tree_util.tree_map(jnp.asarray, variables),
+        jnp.asarray(face), jnp.asarray(mel),
+    )
+    np.testing.assert_allclose(np.asarray(ga), wa.numpy(), rtol=0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gf), wf.numpy(), rtol=0, atol=2e-3)
