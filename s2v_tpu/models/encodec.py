@@ -35,15 +35,18 @@ HOP = int(np.prod(RATIOS))  # 320
 
 def causal_pad(x: jnp.ndarray, kernel: int, stride: int = 1,
                dilation: int = 1) -> jnp.ndarray:
-    """EnCodec causal padding: (k-1)*d - (s-1) zeros on the left, plus the
-    right padding needed to cover the last frame (encodec.modules.conv)."""
+    """EnCodec causal padding: (k-1)*d - (s-1) samples on the left plus the
+    right padding needed to cover the last frame (encodec.modules.conv).
+    SEANet's pad_mode is *reflect*, matching the torch checkpoints."""
     eff_k = (kernel - 1) * dilation + 1
     pad_total = eff_k - stride
     length = x.shape[1]
     n_frames = (length - eff_k + pad_total) / stride + 1
     ideal = (int(np.ceil(n_frames)) - 1) * stride + eff_k - pad_total
     extra = max(ideal - length, 0)
-    return jnp.pad(x, ((0, 0), (pad_total, extra), (0, 0)))
+    if length <= max(pad_total, extra):  # reflect needs pad < length
+        x = jnp.pad(x, ((0, 0), (0, max(pad_total, extra) - length + 1), (0, 0)))
+    return jnp.pad(x, ((0, 0), (pad_total, extra), (0, 0)), mode="reflect")
 
 
 class WNConv1d(nn.Module):
@@ -243,3 +246,32 @@ class EncodecModel(nn.Module):
 def frame_codes_per_video_frame(codes: jnp.ndarray) -> Tuple[int, int]:
     """audio2codes.py windows 0.2 s -> 15 code frames at 75 Hz."""
     return codes.shape[1], codes.shape[2]
+
+
+class JaxEncodecCodec:
+    """prep.tools.codec_encode protocol adapter (the `encode_numpy` hook):
+    wraps converted EncodecModel variables behind a jitted encoder so
+    `audio_to_codes(..., codec=JaxEncodecCodec(variables))` runs natively
+    on TPU instead of importing the torch encodec package.
+    """
+
+    sample_rate = 24000
+    channels = 1
+
+    def __init__(self, variables, n_q: int = 32):
+        self._model = EncodecModel(n_q=n_q)
+        self._vars = variables
+        self._encode = jax.jit(
+            lambda v, w: self._model.apply(v, w, method=EncodecModel.encode)
+        )
+
+    def encode_numpy(self, chunk: np.ndarray, sr: int) -> np.ndarray:
+        """mono [T] at sr -> codes [n_q, T'] at 75 Hz."""
+        if sr != self.sample_rate:
+            from s2v_tpu.io.audio_io import resample
+
+            chunk = resample(np.asarray(chunk, np.float32), sr,
+                             self.sample_rate)
+        out = self._encode(self._vars,
+                           jnp.asarray(chunk, jnp.float32)[None, :, None])
+        return np.asarray(out)[0]

@@ -854,3 +854,113 @@ def convert_syncnet(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
                                           "bn": bn_p}
             stats[f"{out_prefix}{i}"] = {"bn": bn_s}
     return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# EnCodec 24 kHz (reference capability: third_part/emb/qnt.py — Meta EnCodec)
+# --------------------------------------------------------------------------
+
+def _encodec_normalize(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Canonicalize the two public EnCodec layouts to one key scheme.
+
+    Meta (encodec pkg): encoder.model.{i}.conv.conv.weight_g/_v,
+      ...convtr.convtr..., quantizer.vq.layers.{q}._codebook.embed
+    HF (transformers):  encoder.layers.{i}.conv.parametrizations.weight
+      .original0/original1, quantizer.layers.{q}.codebook.embed
+    """
+    out = {}
+    for k, v in sd.items():
+        k = k.replace(".model.", ".layers.")
+        k = k.replace("quantizer.vq.layers.", "quantizer.layers.")
+        k = k.replace("._codebook.", ".codebook.")
+        k = k.replace(".conv.conv.", ".conv.").replace(".convtr.convtr.", ".conv.")
+        k = k.replace(".parametrizations.weight.original0", ".weight_g")
+        k = k.replace(".parametrizations.weight.original1", ".weight_v")
+        out[k] = np.asarray(v)
+    return out
+
+
+def _encodec_fold_wn(view: Dict[str, np.ndarray], key: str) -> np.ndarray:
+    """weight_g [out,1,1] * weight_v/||v|| over (in, k) -> [out, in, k]."""
+    v = view[f"{key}.weight_v"]
+    g = view[f"{key}.weight_g"]
+    return g * v / np.sqrt(np.sum(v * v, axis=(1, 2), keepdims=True) + 0.0)
+
+
+def convert_encodec(sd: Dict[str, np.ndarray]) -> Dict:
+    """EnCodec 24 kHz checkpoint -> s2v_tpu.models.encodec.EncodecModel params.
+
+    Structure is discovered from the (canonicalized) layer indices rather
+    than hardcoded, so ELU-index differences between layouts don't matter:
+    plain-conv layers in order are [conv_in, down0..3/up0..3, conv_out],
+    block layers are res0..3, the lstm layer splits into lstm0/lstm1.
+    """
+    sd = _encodec_normalize(sd)
+
+    def classify(section: str):
+        idxs = sorted({int(k.split(".")[2]) for k in sd
+                       if k.startswith(f"{section}.layers.")})
+        convs, blocks, lstms = [], [], []
+        for i in idxs:
+            p = f"{section}.layers.{i}"
+            if f"{p}.lstm.weight_ih_l0" in sd:
+                lstms.append(p)
+            elif any(k.startswith(f"{p}.block.") for k in sd):
+                blocks.append(p)
+            else:
+                convs.append(p)
+        return convs, blocks, lstms
+
+    def wn_conv(prefix: str, transposed: bool = False) -> Dict:
+        w = _encodec_fold_wn(sd, f"{prefix}.conv")
+        # torch conv [out,in,k] -> mine [k,in,out]; convtr [in,out,k] -> [k,out,in]
+        return {"weight": np.ascontiguousarray(w.transpose(2, 1, 0)),
+                "bias": sd[f"{prefix}.conv.bias"]}
+
+    def res_block(prefix: str) -> Dict:
+        bidx = sorted({int(k.split(".")[4]) for k in sd
+                       if k.startswith(f"{prefix}.block.")})
+        return {"conv1": wn_conv(f"{prefix}.block.{bidx[0]}"),
+                "conv2": wn_conv(f"{prefix}.block.{bidx[1]}"),
+                "shortcut": wn_conv(f"{prefix}.shortcut")}
+
+    def lstm_params(prefix: str, layer: int) -> Dict:
+        return {
+            "weight_ih": sd[f"{prefix}.lstm.weight_ih_l{layer}"].T,
+            "weight_hh": sd[f"{prefix}.lstm.weight_hh_l{layer}"].T,
+            "bias_ih": sd[f"{prefix}.lstm.bias_ih_l{layer}"],
+            "bias_hh": sd[f"{prefix}.lstm.bias_hh_l{layer}"],
+        }
+
+    params: Dict = {"encoder": {}, "decoder": {}, "quantizer": {}}
+
+    convs, blocks, lstms = classify("encoder")
+    enc = params["encoder"]
+    enc["conv_in"] = wn_conv(convs[0])
+    enc["conv_out"] = wn_conv(convs[-1])
+    for i, p in enumerate(convs[1:-1]):
+        enc[f"down{i}"] = wn_conv(p)
+    for i, p in enumerate(blocks):
+        enc[f"res{i}"] = res_block(p)
+    for l in range(2):
+        enc[f"lstm{l}"] = lstm_params(lstms[0], l)
+
+    convs, blocks, lstms = classify("decoder")
+    dec = params["decoder"]
+    dec["conv_in"] = wn_conv(convs[0])
+    dec["conv_out"] = wn_conv(convs[-1])
+    for i, p in enumerate(convs[1:-1]):
+        w = _encodec_fold_wn(sd, f"{p}.conv")  # convtr [in, out, k]
+        dec[f"up{i}_weight"] = np.ascontiguousarray(w.transpose(2, 1, 0))
+        dec[f"up{i}_bias"] = sd[f"{p}.conv.bias"]
+    for i, p in enumerate(blocks):
+        dec[f"res{i}"] = res_block(p)
+    for l in range(2):
+        dec[f"lstm{l}"] = lstm_params(lstms[0], l)
+
+    n_q = 1 + max(int(k.split(".")[2]) for k in sd
+                  if k.startswith("quantizer.layers."))
+    params["quantizer"]["codebooks"] = np.stack(
+        [sd[f"quantizer.layers.{q}.codebook.embed"] for q in range(n_q)]
+    )
+    return {"params": params}

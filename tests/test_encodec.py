@@ -70,3 +70,82 @@ def test_encode_shapes_75hz():
     assert codes.shape == (1, 8, 15)
     recon = model.apply(var, codes, method=EncodecModel.decode_codes)
     assert recon.shape[1] == 15 * HOP
+
+
+def test_encodec_converter_parity_vs_transformers():
+    """convert_encodec vs a random-init transformers EncodecModel (the
+    encodec_24khz architecture): latents, codes, and decoded audio."""
+    from transformers import EncodecConfig
+    from transformers import EncodecModel as HFEncodec
+
+    from s2v_tpu.utils.weights import convert_encodec
+
+    torch.manual_seed(17)
+    hf = HFEncodec(EncodecConfig()).eval()
+    with torch.no_grad():  # HF random-init codebooks are zeros (kmeans-init
+        for q in range(32):  # deferred) -> randomize so codes are non-trivial
+            hf.quantizer.layers[q].codebook.embed.normal_(0, 1.0)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    variables = jax.tree_util.tree_map(jnp.asarray, convert_encodec(sd))
+
+    t = 3190  # not a hop multiple -> exercises the extra right padding
+    wav = (RNG.randn(2, t, 1) * 0.3).astype(np.float32)
+    x_t = torch.from_numpy(np.ascontiguousarray(wav.transpose(0, 2, 1)))
+
+    with torch.no_grad():
+        lat = hf.encoder(x_t)                                   # [B, 128, T']
+        enc = hf.encode(x_t, bandwidth=24.0)
+        codes_t = enc.audio_codes[0]                            # [B, n_q, T']
+        dec = hf.decode(enc.audio_codes, [None]).audio_values   # [B, 1, T'*320]
+
+    model = EncodecModel()
+    recon, codes = jax.jit(model.apply)(variables, jnp.asarray(wav))
+    lat_j = jax.jit(lambda v, w: model.apply(
+        v, w, method=lambda m, w: m.encoder(w)))(variables, jnp.asarray(wav))
+
+    np.testing.assert_allclose(
+        np.asarray(lat_j).transpose(0, 2, 1), lat.numpy(), rtol=0, atol=2e-4
+    )
+    assert codes.shape == codes_t.shape == (2, 32, 10)
+    assert len(np.unique(codes_t.numpy())) > 20  # guard against vacuity
+    np.testing.assert_array_equal(np.asarray(codes), codes_t.numpy())
+    n = min(recon.shape[1], dec.shape[2])
+    np.testing.assert_allclose(
+        np.asarray(recon)[:, :n, 0], dec.numpy()[:, 0, :n], rtol=0, atol=2e-4
+    )
+
+
+def test_encodec_converter_accepts_meta_layout():
+    """The Meta encodec-package key scheme converts to the identical tree."""
+    from transformers import EncodecConfig
+    from transformers import EncodecModel as HFEncodec
+
+    from s2v_tpu.utils.weights import convert_encodec
+
+    torch.manual_seed(18)
+    sd = {k: v.detach().numpy()
+          for k, v in HFEncodec(EncodecConfig()).state_dict().items()}
+
+    meta = {}
+    for k, v in sd.items():
+        mk = k.replace("encoder.layers.", "encoder.model.")
+        mk = mk.replace("decoder.layers.", "decoder.model.")
+        mk = mk.replace("quantizer.layers.", "quantizer.vq.layers.")
+        mk = mk.replace(".codebook.", "._codebook.")
+        if mk.startswith("decoder.model.") and ".block." not in mk \
+                and ".shortcut." not in mk and ".lstm." not in mk \
+                and int(mk.split(".")[2]) not in (0, 15):
+            mk = mk.replace(".conv.", ".convtr.convtr.", 1)
+        else:
+            mk = mk.replace(".conv.", ".conv.conv.", 1)
+        mk = mk.replace(".parametrizations.weight.original0", ".weight_g")
+        mk = mk.replace(".parametrizations.weight.original1", ".weight_v")
+        meta[mk] = v
+
+    a = convert_encodec(sd)
+    b = convert_encodec(meta)
+    flat_a = jax.tree_util.tree_leaves_with_path(a)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(b))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(leaf, flat_b[path])
