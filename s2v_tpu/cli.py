@@ -136,8 +136,17 @@ def main(argv=None):
                 key, val = key.split("=", 1)
                 i += 1
             elif i + 1 < len(argv) and not argv[i + 1].startswith("--"):
-                val = argv[i + 1]
-                i += 2
+                if key in ("box", "crop", "pads"):
+                    # nargs='+'-style tuples (inference.py --box/--crop/--pads)
+                    vals = []
+                    i += 1
+                    while i < len(argv) and not argv[i].startswith("--"):
+                        vals.append(argv[i])
+                        i += 1
+                    val = ",".join(vals)
+                else:
+                    val = argv[i + 1]
+                    i += 2
             else:
                 val = "true"
                 i += 1

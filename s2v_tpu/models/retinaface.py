@@ -85,19 +85,63 @@ class FPN(nn.Module):
         return [o1, o2, o3]
 
 
+class ConvDW(nn.Module):
+    """net.py:29-38 conv_dw: depthwise 3x3 + pointwise 1x1, leaky 0.1."""
+
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        cin = x.shape[-1]
+        x = Conv(cin, (3, 3), (self.stride, self.stride), (1, 1),
+                 use_bias=False, groups=cin, name="dw")(x)
+        x = BatchNorm2d(cin, name="dw_bn")(x, train)
+        x = lrelu(x, 0.1)
+        x = Conv(self.features, (1, 1), use_bias=False, name="pw")(x)
+        x = BatchNorm2d(self.features, name="pw_bn")(x, train)
+        return lrelu(x, 0.1)
+
+
+class MobileNetV1(nn.Module):
+    """net.py:102-137 MobileNetV1 x0.25 — the cfg_mnet backbone. Returns
+    the three stage outputs (strides 8/16/32, channels 64/128/256)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(8, 3, 2, leaky=0.1, name="stage1_0")(x, train)
+        for i, (f, s) in enumerate([(16, 1), (32, 2), (32, 1),
+                                    (64, 2), (64, 1)]):
+            x = ConvDW(f, s, name=f"stage1_{i + 1}")(x, train)
+        s1 = x
+        for i, (f, s) in enumerate([(128, 2)] + [(128, 1)] * 5):
+            x = ConvDW(f, s, name=f"stage2_{i}")(x, train)
+        s2 = x
+        for i, (f, s) in enumerate([(256, 2), (256, 1)]):
+            x = ConvDW(f, s, name=f"stage3_{i}")(x, train)
+        return s1, s2, x
+
+
 class RetinaFace(nn.Module):
-    """retinaface.py:48-140, ResNet50 / cfg_re50 (out_channel 256,
-    2 anchors per position). Input: [B, H, W, 3] BGR mean-subtracted.
+    """retinaface.py:48-140. Default: ResNet50 / cfg_re50 (out_channel 256,
+    2 anchors per position); backbone='mobilenet0.25' selects cfg_mnet
+    (out_channel 64, MobileNetV1 x0.25 body — use retinaface_mnet()).
+    Input: [B, H, W, 3] BGR mean-subtracted.
 
     Returns (loc [B, N, 4], conf [B, N, 2] softmaxed, landms [B, N, 10]).
     """
 
     out_channel: int = 256
+    backbone: str = "resnet50"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        stages = ResNet(return_stages=True, name="body")(x, train)
-        feats = FPN(self.out_channel, name="fpn")(stages[1:4], train)
+        if self.backbone == "mobilenet0.25":
+            feats_in = list(MobileNetV1(name="body")(x, train))
+        else:
+            stages = ResNet(return_stages=True, name="body")(x, train)
+            feats_in = stages[1:4]
+        feats = FPN(self.out_channel, name="fpn")(feats_in, train)
         features = [
             SSH(self.out_channel, name=f"ssh{i + 1}")(f, train)
             for i, f in enumerate(feats)
@@ -176,3 +220,9 @@ def detect_faces(outputs, image_hw: Tuple[int, int],
     best_ldm = jnp.take_along_axis(landms, idx[:, None, None], axis=1)[:, 0]
     best_score = jnp.take_along_axis(scores, idx[:, None], axis=1)[:, 0]
     return best_box, best_ldm.reshape(-1, 5, 2), best_score > confidence_threshold
+
+
+def retinaface_mnet() -> RetinaFace:
+    """cfg_mnet configuration (config.py:3-21): MobileNetV1 x0.25 backbone,
+    out_channel 64. Same priors/steps/variances as cfg_re50."""
+    return RetinaFace(out_channel=64, backbone="mobilenet0.25")

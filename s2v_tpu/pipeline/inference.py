@@ -400,13 +400,22 @@ class LipSyncPipeline:
         full_frames_t = full_frames[:n_frames]
         chunks = np.asarray(mel_chunks_for_frames(mel, n_chunks, fps))
 
-        boxes = self.detect_boxes(full_frames_t)
-        boxes = np.asarray(
-            pad_and_smooth_boxes(
-                jnp.asarray(boxes), full_frames_t.shape[1:3],
-                pads=cfg.infer.pads, smooth=not cfg.infer.nosmooth,
-            )
-        ).astype(np.int32)
+        if cfg.infer.box[0] != -1:
+            # fixed box bypasses detection, pads, and smoothing
+            # (inference.py --box, wav2lip convention: top bottom left right)
+            by1, by2, bx1, bx2 = cfg.infer.box
+            fh, fw = full_frames_t.shape[1:3]
+            boxes = np.tile(np.asarray(
+                [max(bx1, 0), max(by1, 0), min(bx2, fw), min(by2, fh)],
+                np.int32), (n_frames, 1))
+        else:
+            boxes = self.detect_boxes(full_frames_t)
+            boxes = np.asarray(
+                pad_and_smooth_boxes(
+                    jnp.asarray(boxes), full_frames_t.shape[1:3],
+                    pads=cfg.infer.pads, smooth=not cfg.infer.nosmooth,
+                )
+            ).astype(np.int32)
 
         refs = self.build_reference_faces(
             stabilized, full_frames_t, coordinates, boxes
@@ -506,6 +515,11 @@ class LipSyncPipeline:
         reader = VideoReader(face_path)
         frames = reader.read_all()
         fps = reader.fps or cfg.infer.fps
+        cy1, cy2, cx1, cx2 = cfg.infer.crop  # --crop: top bottom left right
+        if (cy1, cy2, cx1, cx2) != (0, -1, 0, -1):
+            cy2 = frames.shape[1] if cy2 == -1 else cy2
+            cx2 = frames.shape[2] if cx2 == -1 else cx2
+            frames = frames[:, cy1:cy2, cx1:cx2]
 
         lm = self.extract_landmarks(frames)
         frames_256, coordinates = self.ffhq_crop(frames, lm[0])

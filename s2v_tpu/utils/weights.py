@@ -869,7 +869,8 @@ def _encodec_normalize(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
       .original0/original1, quantizer.layers.{q}.codebook.embed
     """
     out = {}
-    for k, v in sd.items():
+    for k in list(sd):
+        v = sd[k]  # index (not .items()) so conversion_coverage records reads
         k = k.replace(".model.", ".layers.")
         k = k.replace("quantizer.vq.layers.", "quantizer.layers.")
         k = k.replace("._codebook.", ".codebook.")
@@ -964,3 +965,95 @@ def convert_encodec(sd: Dict[str, np.ndarray]) -> Dict:
         [sd[f"quantizer.layers.{q}.codebook.embed"] for q in range(n_q)]
     )
     return {"params": params}
+
+
+# --------------------------------------------------------------------------
+# Converter-drift guard: which checkpoint entries did a conversion consume?
+# --------------------------------------------------------------------------
+
+
+class TrackingStateDict(dict):
+    """dict that records every key read through it (SDView.get indexes the
+    underlying dict, so any converter run on this records its consumption)."""
+
+    def __init__(self, sd: Dict[str, np.ndarray]):
+        super().__init__(sd)
+        self.accessed: set = set()
+
+    def __getitem__(self, key):
+        self.accessed.add(key)
+        return super().__getitem__(key)
+
+
+_COVERAGE_IGNORE = ("num_batches_tracked", ".weight_orig", ".weight_u",
+                    ".weight_v", "cluster_size", "embed_avg", ".inited")
+
+
+def conversion_coverage(convert_fn, sd: Dict[str, np.ndarray], *args,
+                        ignore=_COVERAGE_IGNORE, **kwargs):
+    """Run a converter and report checkpoint entries it never read.
+
+    A non-empty result usually means the torch model gained parameters the
+    converter silently drops — the drift this guards against. Entries whose
+    names contain an ``ignore`` fragment (optimizer/EMA bookkeeping,
+    spectral-norm raw triples consumed via other keys) are excluded.
+
+    Returns (converted, leftover_keys)."""
+    tracked = TrackingStateDict(sd)
+    out = convert_fn(tracked, *args, **kwargs)
+    leftover = sorted(
+        k for k in sd
+        if k not in tracked.accessed and not any(s in k for s in ignore)
+    )
+    return out, leftover
+
+
+def convert_retinaface_mnet(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """mobilenet0.25 RetinaFace checkpoint (cfg_mnet) -> flax variables.
+
+    Body keys: body.stage{s}.{i}.{j} where conv_bn blocks are [conv, bn] and
+    conv_dw blocks are [dw conv, bn, relu, pw conv, bn, relu] (net.py:9-38).
+    FPN/SSH/head keys are identical to the R50 layout."""
+    v = SDView(sd, prefix)
+    bb = v.sub("body")
+
+    def conv_dw(view: SDView) -> Dict:
+        dw_bn_p, dw_bn_s = view.bn("1")
+        pw_bn_p, pw_bn_s = view.bn("4")
+        return {
+            "dw": view.conv("0", bias=False),
+            "dw_bn": dw_bn_p, "dw_bn__stats": dw_bn_s,
+            "pw": view.conv("3", bias=False),
+            "pw_bn": pw_bn_p, "pw_bn__stats": pw_bn_s,
+        }
+
+    tree: Dict = {"stage1_0": _convbn(bb.sub("stage1.0"))}
+    for i in range(1, 6):
+        tree[f"stage1_{i}"] = conv_dw(bb.sub(f"stage1.{i}"))
+    for i in range(6):
+        tree[f"stage2_{i}"] = conv_dw(bb.sub(f"stage2.{i}"))
+    for i in range(2):
+        tree[f"stage3_{i}"] = conv_dw(bb.sub(f"stage3.{i}"))
+
+    fpn = v.sub("fpn")
+    tree["fpn"] = {
+        name: _convbn(fpn.sub(name))
+        for name in ("output1", "output2", "output3", "merge1", "merge2")
+    }
+    for i in (1, 2, 3):
+        ssh = v.sub(f"ssh{i}")
+        tree[f"ssh{i}"] = {
+            name: _convbn(ssh.sub(name))
+            for name in ("conv3X3", "conv5X5_1", "conv5X5_2", "conv7X7_2", "conv7x7_3")
+        }
+    for i in range(3):
+        tree[f"BboxHead{i}"] = v.conv(f"BboxHead.{i}.conv1x1")
+        tree[f"ClassHead{i}"] = v.conv(f"ClassHead.{i}.conv1x1")
+        tree[f"LandmarkHead{i}"] = v.conv(f"LandmarkHead.{i}.conv1x1")
+
+    params, stats = _split_stats(tree)
+    body_p = {k: params.pop(k) for k in list(params) if k.startswith("stage")}
+    body_s = {k: stats.pop(k) for k in list(stats) if k.startswith("stage")}
+    params["body"] = body_p
+    stats["body"] = body_s
+    return {"params": params, "batch_stats": stats}

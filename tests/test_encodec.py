@@ -86,7 +86,11 @@ def test_encodec_converter_parity_vs_transformers():
         for q in range(32):  # deferred) -> randomize so codes are non-trivial
             hf.quantizer.layers[q].codebook.embed.normal_(0, 1.0)
     sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
-    variables = jax.tree_util.tree_map(jnp.asarray, convert_encodec(sd))
+    from s2v_tpu.utils.weights import conversion_coverage
+
+    converted, leftover = conversion_coverage(convert_encodec, sd)
+    assert leftover == []
+    variables = jax.tree_util.tree_map(jnp.asarray, converted)
 
     t = 3190  # not a hop multiple -> exercises the extra right padding
     wav = (RNG.randn(2, t, 1) * 0.3).astype(np.float32)

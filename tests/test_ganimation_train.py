@@ -77,3 +77,38 @@ def test_d_and_g_losses_finite_and_differentiable():
     )
     assert np.isfinite(float(g_loss))
     assert gm["g_rec"] > 0
+
+
+def test_stargan_losses_and_trainer_steps():
+    from s2v_tpu.train.ganimation_train import (
+        make_expression_trainer,
+        stargan_d_loss,
+        stargan_g_loss,
+    )
+
+    gen_apply, g_vars, disc_apply, d_params = tiny_models()
+    src = jnp.asarray(RNG.rand(2, 32, 32, 3).astype(np.float32) * 2 - 1)
+    src_aus = jnp.asarray(RNG.rand(2, 17).astype(np.float32))
+    tar_aus = jnp.asarray(RNG.rand(2, 17).astype(np.float32))
+    rng = jax.random.PRNGKey(3)
+
+    dl, dm = stargan_d_loss(disc_apply, d_params, gen_apply, g_vars,
+                            src, src_aus, tar_aus, rng)
+    gl, gm = stargan_g_loss(gen_apply, g_vars, disc_apply, d_params,
+                            src, src_aus, tar_aus)
+    assert np.isfinite(float(dl)) and np.isfinite(float(gl))
+    assert "g_mask" not in gm  # stargan has no attention losses
+
+    for model in ("stargan", "ganimation"):
+        state, d_step, g_step = make_expression_trainer(
+            gen_apply, disc_apply, g_vars, d_params, model=model)
+        before = [np.asarray(l) for l in jax.tree_util.tree_leaves(state["g"])]
+        state, dm = d_step(state, src, src_aus, tar_aus, rng)
+        state, gm = g_step(state, src, src_aus, tar_aus)
+        after = jax.tree_util.tree_leaves(state["g"])
+        assert np.isfinite(float(gm["g_total"]))
+        assert np.isfinite(float(dm["d_total"]))
+        # stargan leaves the (unused) attention head untouched, so check
+        # that SOME generator leaves moved
+        assert any(not np.allclose(b, np.asarray(a))
+                   for b, a in zip(before, after))

@@ -107,7 +107,10 @@ def test_syncnet_converter_parity():
     torch.manual_seed(81)
     ref = TSync().eval()
     sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
-    variables = convert_syncnet(sd)
+    from s2v_tpu.utils.weights import conversion_coverage
+
+    variables, leftover = conversion_coverage(convert_syncnet, sd)
+    assert leftover == []
 
     face = RNG.rand(2, 48, 96, 15).astype(np.float32)
     mel = RNG.rand(2, 80, 16, 1).astype(np.float32)
@@ -122,3 +125,26 @@ def test_syncnet_converter_parity():
     )
     np.testing.assert_allclose(np.asarray(ga), wa.numpy(), rtol=0, atol=2e-3)
     np.testing.assert_allclose(np.asarray(gf), wf.numpy(), rtol=0, atol=2e-3)
+
+
+def test_conversion_coverage_guard():
+    """conversion_coverage flags state-dict entries a converter ignores."""
+    from s2v_tpu.utils.weights import SDView, conversion_coverage
+
+    sd = {"a.weight": np.zeros((4, 3)), "a.bias": np.zeros(4),
+          "stale.weight": np.ones(2),
+          "bn.num_batches_tracked": np.zeros(())}
+
+    def convert(d):
+        v = SDView(d)
+        return v.linear("a")
+
+    _, leftover = conversion_coverage(convert, sd)
+    assert leftover == ["stale.weight"]  # bookkeeping key ignored
+
+    def convert_all(d):
+        v = SDView(d)
+        return {"a": v.linear("a"), "s": v.get("stale.weight")}
+
+    _, leftover = conversion_coverage(convert_all, sd)
+    assert leftover == []

@@ -127,3 +127,64 @@ def test_retinaface_forward_and_detect():
     np.testing.assert_allclose(np.asarray(conf.sum(-1)), 1.0, rtol=1e-5)
     boxes, landms, valid = detect_faces((loc, conf, ldm), (64, 64))
     assert boxes.shape == (1, 4) and landms.shape == (1, 5, 2)
+
+
+def test_retinaface_mnet_parity():
+    """cfg_mnet full-model parity: reference MobileNetV1 + FPN + SSH + heads
+    (retinaface.py:48-140 with config.py cfg_mnet) vs retinaface_mnet()."""
+    import torch.nn as tnn
+
+    from s2v_tpu.models.retinaface import retinaface_mnet
+    from s2v_tpu.utils.weights import conversion_coverage, convert_retinaface_mnet
+
+    net = load_ref_net()
+    torch.manual_seed(33)
+
+    class Head(tnn.Module):
+        def __init__(self, cin, n):
+            super().__init__()
+            self.conv1x1 = tnn.Conv2d(cin, 2 * n, 1)
+
+        def forward(self, x):
+            out = self.conv1x1(x).permute(0, 2, 3, 1).contiguous()
+            return out.view(out.shape[0], -1, self.conv1x1.out_channels // 2)
+
+    class RefMnet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.body = net.MobileNetV1()
+            self.fpn = net.FPN([64, 128, 256], 64)
+            self.ssh1 = net.SSH(64, 64)
+            self.ssh2 = net.SSH(64, 64)
+            self.ssh3 = net.SSH(64, 64)
+            self.BboxHead = tnn.ModuleList([Head(64, 4) for _ in range(3)])
+            self.ClassHead = tnn.ModuleList([Head(64, 2) for _ in range(3)])
+            self.LandmarkHead = tnn.ModuleList([Head(64, 10) for _ in range(3)])
+
+        def forward(self, x):
+            s1 = self.body.stage1(x)
+            s2 = self.body.stage2(s1)
+            s3 = self.body.stage3(s2)
+            fpn = self.fpn({"1": s1, "2": s2, "3": s3})
+            feats = [self.ssh1(fpn[0]), self.ssh2(fpn[1]), self.ssh3(fpn[2])]
+            loc = torch.cat([self.BboxHead[i](f) for i, f in enumerate(feats)], 1)
+            conf = torch.cat([self.ClassHead[i](f) for i, f in enumerate(feats)], 1)
+            ldm = torch.cat([self.LandmarkHead[i](f) for i, f in enumerate(feats)], 1)
+            return loc, torch.nn.functional.softmax(conf, -1), ldm
+
+    ref = RefMnet().eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()
+          if not k.startswith("body.fc.")}  # IntermediateLayerGetter drops fc
+    variables, leftover = conversion_coverage(convert_retinaface_mnet, sd)
+    assert leftover == []
+
+    x = RNG.randn(1, 64, 64, 3).astype(np.float32) * 20
+    with torch.no_grad():
+        wl, wc, wm = ref(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2))))
+    gl, gc, gm = retinaface_mnet().apply(
+        jax.tree_util.tree_map(jnp.asarray, variables), jnp.asarray(x))
+    assert gl.shape == wl.shape  # (1, (8^2+4^2+2^2)*2, 4)
+    np.testing.assert_allclose(np.asarray(gl), wl.numpy(), rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gc), wc.numpy(), rtol=0, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gm), wm.numpy(), rtol=0, atol=2e-4)
