@@ -21,18 +21,25 @@ def layer_norm_chw(
     bias: jnp.ndarray,
     eps: float = 1e-5,
 ) -> jnp.ndarray:
-    """x: [B,H,W,C]; weight/bias: [C]. Normalizes over (H, W, C) jointly."""
-    mean = x.mean(axis=(1, 2, 3), keepdims=True)
-    var = x.var(axis=(1, 2, 3), keepdims=True)
+    """x: [B,H,W,C]; weight/bias: [C]. Normalizes over (H, W, C) jointly.
+
+    Statistics accumulate in f32 regardless of input dtype — a bf16 mean
+    over 384*384*C elements loses ~3 digits otherwise."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=(1, 2, 3), keepdims=True)
+    var = xf.var(axis=(1, 2, 3), keepdims=True)
     inv = jnp.reciprocal(jnp.sqrt(var + eps))
-    return (x - mean) * inv * weight + bias
+    return ((xf - mean) * inv).astype(x.dtype) * weight + bias
 
 
 def instance_norm_2d(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """x: [B,H,W,C]. Normalize each (sample, channel) over its H, W."""
-    mean = x.mean(axis=(1, 2), keepdims=True)
-    var = x.var(axis=(1, 2), keepdims=True)
-    return (x - mean) * jnp.reciprocal(jnp.sqrt(var + eps))
+    """x: [B,H,W,C]. Normalize each (sample, channel) over its H, W.
+    Statistics accumulate in f32 (see layer_norm_chw)."""
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(axis=(1, 2), keepdims=True)
+    var = xf.var(axis=(1, 2), keepdims=True)
+    return (((xf - mean) * jnp.reciprocal(jnp.sqrt(var + eps)))
+            .astype(x.dtype))
 
 
 def batch_norm_inference(

@@ -126,3 +126,38 @@ def crop_resize_boxes(images: jnp.ndarray, boxes, out_hw) -> jnp.ndarray:
          jnp.broadcast_to(gy[:, :, None], (n, oh, ow))], axis=-1
     )
     return grid_sample_bilinear(images, grid)
+
+
+def paste_resize_boxes(frames: jnp.ndarray, preds: jnp.ndarray,
+                       boxes) -> jnp.ndarray:
+    """Batched inverse of crop_resize_boxes: bilinear-resize each pred to its
+    box and paste into its frame — one device program instead of a per-frame
+    host loop (inference.py:316-330's cv2.resize + slice assignment).
+
+    frames: [N, H, W, C]; preds: [N, s, s, C]; boxes: [N, 4] (x1, y1, x2, y2)
+    integer pixel boxes. Outside-box pixels keep the frame values; the resize
+    uses half-pixel centers with edge clamping (torch/cv2 semantics).
+    """
+    n, h, w, c = frames.shape
+    s = preds.shape[1]
+    boxes = jnp.asarray(boxes, jnp.float32)
+    x1, y1 = boxes[:, 0][:, None], boxes[:, 1][:, None]
+    x2, y2 = boxes[:, 2][:, None], boxes[:, 3][:, None]
+
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5  # pixel centers
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :] + 0.5
+    # source coords in pred pixels (inverse half-pixel map), edge-clamped
+    u = jnp.clip((xs - x1) / jnp.maximum(x2 - x1, 1.0) * s - 0.5, 0.0, s - 1.0)
+    v = jnp.clip((ys - y1) / jnp.maximum(y2 - y1, 1.0) * s - 0.5, 0.0, s - 1.0)
+    gx = (2.0 * u + 1.0) / s - 1.0  # [N, W]
+    gy = (2.0 * v + 1.0) / s - 1.0  # [N, H]
+    grid = jnp.stack(
+        [jnp.broadcast_to(gx[:, None, :], (n, h, w)),
+         jnp.broadcast_to(gy[:, :, None], (n, h, w))], axis=-1
+    )
+    warped = grid_sample_bilinear(preds, grid)
+
+    in_x = (xs - 0.5 >= x1) & (xs - 0.5 < x2)          # [N, W]
+    in_y = (ys - 0.5 >= y1) & (ys - 0.5 < y2)          # [N, H]
+    mask = (in_y[:, :, None] & in_x[:, None, :])[..., None]
+    return jnp.where(mask, warped, frames)

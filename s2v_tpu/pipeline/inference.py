@@ -436,37 +436,40 @@ class LipSyncPipeline:
 
         from s2v_tpu.ops.warp import crop_resize_boxes
 
+        @jax.jit
+        def prep(frames_b, boxes_b, refs_b):
+            # batched box crops + lower-half mask + concat as one device
+            # program (inference.py:383-399 datagen equivalent)
+            ofaces = crop_resize_boxes(frames_b, boxes_b,
+                                       (img_size, img_size)) / 255.0
+            masked = ofaces.at[:, img_size // 2 :].set(0.0)
+            ref_b = refs_b / 255.0
+            return ofaces, jnp.concatenate([masked, ref_b], axis=-1), ref_b
+
         def assemble(start):
             idxs = [frame_index(i)
                     for i in range(start, min(start + batch, n_chunks))]
             padded = idxs + [idxs[-1]] * (batch - len(idxs))
-            # batched box crops (one grid-sample) instead of per-frame host
-            # resizes (inference.py:383-399 equivalent)
-            ofaces = np.asarray(
-                crop_resize_boxes(
-                    jnp.asarray(full_frames_t[padded].astype(np.float32)),
-                    boxes[padded], (img_size, img_size),
-                )
-            ) / 255.0
-            ref_batch = refs[padded] / 255.0
-            masked = ofaces.copy()
-            masked[:, img_size // 2 :] = 0  # lower-half mask (inference.py:397)
-            face_np = np.concatenate([masked, ref_batch], axis=-1)
-            mel_batch = chunks[padded]
+            ofaces, face, ref_batch = prep(
+                jnp.asarray(full_frames_t[padded].astype(np.float32)),
+                jnp.asarray(boxes[padded]), jnp.asarray(refs[padded]),
+            )
             pred = run(
                 self.models.enet,
-                jnp.asarray(mel_batch)[..., None],
-                jnp.asarray(face_np),
-                jnp.asarray(ref_batch),
+                jnp.asarray(chunks[padded])[..., None],
+                face, ref_batch,
             )  # async: JAX dispatch returns immediately, device runs ahead
-            return idxs, face_np, ofaces, pred
+            return idxs, face, ofaces, pred
+
+        from s2v_tpu.ops.warp import paste_resize_boxes
 
         def drain(idxs, face_np, orig, pred):
-            pred = np.asarray(pred)  # sync point for THIS batch only
-
             # upper-face edit + masked composite (inference.py:269-286):
             # GANimation only takes effect through the --without_rl1 path
             if cfg.infer.without_rl1:
+                pred = np.asarray(pred)
+                face_np = np.asarray(face_np)
+                orig = np.asarray(orig)
                 if self.models.up_face_editor is not None:
                     cur = self.models.up_face_editor(orig)
                 else:
@@ -474,15 +477,19 @@ class LipSyncPipeline:
                 mask = (face_np[..., :3] == 0).astype(np.float32)
                 pred = pred * mask + cur * (1.0 - mask)
 
-            pred = pred[: len(idxs)] * 255.0
+            # batched resize + paste as ONE device program (the reference's
+            # per-frame cv2.resize + slice assignment, inference.py:316-330)
+            bsel = boxes[idxs]
+            pasted = np.asarray(paste_resize_boxes(
+                jnp.asarray(full_frames_t[idxs].astype(np.float32)),
+                jnp.asarray(pred)[: len(idxs)] * 255.0,
+                jnp.asarray(bsel),
+            ))  # sync point for THIS batch only
+
             outs = []
-            for k, i in enumerate(idxs):
-                x1, y1, x2, y2 = boxes[i]
-                p = np.asarray(
-                    resize_bilinear(jnp.asarray(pred[k : k + 1]), (y2 - y1, x2 - x1))
-                )[0]
-                ff = full_frames_t[i].astype(np.float32).copy()
-                ff[y1:y2, x1:x2] = p
+            for k in range(len(idxs)):
+                x1, y1, x2, y2 = bsel[k]
+                ff = pasted[k]
                 if self.models.mouth_restorer is not None:
                     ff = self.models.mouth_restorer(ff, (y1, y2, x1, x2))
                 if self.models.final_enhancer is not None:

@@ -156,3 +156,25 @@ def test_crop_resize_boxes_matches_per_frame_resize():
         # neighbors instead of crop-clamped pixels
         np.testing.assert_allclose(got[i, 1:-1, 1:-1], want[1:-1, 1:-1],
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_paste_resize_boxes_matches_per_frame_loop():
+    """Batched paste-back == resize each pred to its box + slice assign."""
+    from s2v_tpu.ops.image import resize_bilinear
+    from s2v_tpu.ops.warp import paste_resize_boxes
+
+    rng = np.random.RandomState(7)
+    frames = rng.rand(3, 40, 48, 3).astype(np.float32) * 255
+    preds = rng.rand(3, 16, 16, 3).astype(np.float32) * 255
+    boxes = np.asarray([[4, 6, 20, 30], [0, 0, 48, 40], [10, 5, 11, 6]],
+                       np.int32)  # interior, full-frame, degenerate 1x1
+
+    got = np.asarray(paste_resize_boxes(
+        jnp.asarray(frames), jnp.asarray(preds), jnp.asarray(boxes)))
+
+    want = frames.copy()
+    for k, (x1, y1, x2, y2) in enumerate(boxes):
+        p = np.asarray(resize_bilinear(
+            jnp.asarray(preds[k:k + 1]), (y2 - y1, x2 - x1)))[0]
+        want[k, y1:y2, x1:x2] = p
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-3)
