@@ -101,3 +101,102 @@ class IResNet(nn.Module):
             m, v = mean.value, var.value
         inv = jax.lax.rsqrt(v + 1e-5)
         return (feat - m) * inv * weight + bias
+
+
+# ---------------------------------------------------------------------------
+# MobileFaceNet (reference: arcface_torch/backbones/mobilefacenet.py:16-120)
+# ---------------------------------------------------------------------------
+
+
+class _MFConvBlock(nn.Module):
+    """mobilefacenet.py ConvBlock: conv(bias=False) + BN + PReLU."""
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    padding: int = 0
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from s2v_tpu.models.layers import BatchNorm2d, Conv
+
+        x = Conv(self.features, (self.kernel, self.kernel),
+                 (self.stride, self.stride), (self.padding, self.padding),
+                 use_bias=False, groups=self.groups, name="conv")(x)
+        x = BatchNorm2d(self.features, name="bn")(x, train)
+        return PReLU(self.features, name="prelu")(x)
+
+
+class _MFLinearBlock(nn.Module):
+    """mobilefacenet.py LinearBlock: conv(bias=False) + BN."""
+
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    padding: int = 0
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from s2v_tpu.models.layers import BatchNorm2d, Conv
+
+        x = Conv(self.features, (self.kernel, self.kernel),
+                 (self.stride, self.stride), (self.padding, self.padding),
+                 use_bias=False, groups=self.groups, name="conv")(x)
+        return BatchNorm2d(self.features, name="bn")(x, train)
+
+
+class _MFDepthWise(nn.Module):
+    """mobilefacenet.py DepthWise: 1x1 expand -> depthwise 3x3 -> 1x1 proj."""
+
+    features: int
+    groups: int
+    stride: int = 2
+    residual: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = _MFConvBlock(self.groups, name="pw")(x, train)
+        h = _MFConvBlock(self.groups, 3, self.stride, 1, groups=self.groups,
+                         name="dw")(h, train)
+        h = _MFLinearBlock(self.features, name="proj")(h, train)
+        return x + h if self.residual else h
+
+
+class MobileFaceNet(nn.Module):
+    """mobilefacenet.py:90-120 (scale 2): 112x112 face -> num_features emb."""
+
+    num_features: int = 512
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # [B, 112, 112, 3]
+        from s2v_tpu.models.layers import BatchNorm2d, Conv
+
+        h = _MFConvBlock(128, 3, 2, 1, name="l0")(x, train)
+        h = _MFConvBlock(128, 3, 1, 1, groups=64, name="l1")(h, train)
+        h = _MFDepthWise(128, 128, name="l2")(h, train)
+        for j in range(4):
+            h = _MFDepthWise(128, 128, 1, True, name=f"l3_{j}")(h, train)
+        h = _MFDepthWise(256, 256, name="l4")(h, train)
+        for j in range(6):
+            h = _MFDepthWise(256, 256, 1, True, name=f"l5_{j}")(h, train)
+        h = _MFDepthWise(256, 512, name="l6")(h, train)
+        for j in range(2):
+            h = _MFDepthWise(256, 256, 1, True, name=f"l7_{j}")(h, train)
+        h = _MFConvBlock(512, name="conv_sep")(h, train)
+        # GDC head: depthwise 7x7 linear block -> linear -> BN1d
+        h = _MFLinearBlock(512, 7, 1, 0, groups=512, name="gdc_dw")(h, train)
+        h = h.reshape(h.shape[0], -1)
+        w = self.param("gdc_weight", nn.initializers.normal(0.01),
+                       (512, self.num_features))
+        h = h @ w
+        mean = self.variable("batch_stats", "head_mean",
+                             lambda: jnp.zeros((self.num_features,))).value
+        var = self.variable("batch_stats", "head_var",
+                            lambda: jnp.ones((self.num_features,))).value
+        g = self.param("head_weight", nn.initializers.ones,
+                       (self.num_features,))
+        beta = self.param("head_bias", nn.initializers.zeros,
+                          (self.num_features,))
+        return (h - mean) * jax.lax.rsqrt(var + 1e-5) * g + beta

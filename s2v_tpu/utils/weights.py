@@ -1057,3 +1057,107 @@ def convert_retinaface_mnet(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict
     params["body"] = body_p
     stats["body"] = body_s
     return {"params": params, "batch_stats": stats}
+
+
+def convert_irse(sd: Dict[str, np.ndarray], num_layers: int = 50,
+                 prefix: str = "") -> Dict:
+    """model_ir_se50.pth (GPEN training/loss/model_irse.py Backbone ir_se)
+    -> s2v_tpu.models.irse.BackboneIRSE variables."""
+    from s2v_tpu.models.irse import _blocks
+
+    v = SDView(sd, prefix)
+    params: Dict = {}
+    stats: Dict = {}
+
+    inp = v.sub("input_layer")
+    bn_p, bn_s = inp.bn("1")
+    params["input_conv"] = inp.conv("0", bias=False)
+    params["input_bn"] = bn_p
+    stats["input_bn"] = bn_s
+    params["input_prelu"] = {"alpha": inp.get("2.weight")}
+
+    for i, (cin, depth, stride) in enumerate(_blocks(num_layers)):
+        blk = v.sub(f"body.{i}")
+        res = blk.sub("res_layer")
+        bn1_p, bn1_s = res.bn("0")
+        bn2_p, bn2_s = res.bn("4")
+        p: Dict = {
+            "bn1": bn1_p,
+            "conv1": res.conv("1", bias=False),
+            "prelu": {"alpha": res.get("2.weight")},
+            "conv2": res.conv("3", bias=False),
+            "bn2": bn2_p,
+        }
+        s: Dict = {"bn1": bn1_s, "bn2": bn2_s}
+        if f"res_layer.5.fc1.weight" in blk:
+            p["se"] = {"fc1": res.conv("5.fc1", bias=False),
+                       "fc2": res.conv("5.fc2", bias=False)}
+        if cin != depth:
+            sc_bn_p, sc_bn_s = blk.bn("shortcut_layer.1")
+            p["shortcut_conv"] = blk.conv("shortcut_layer.0", bias=False)
+            p["shortcut_bn"] = sc_bn_p
+            s["shortcut_bn"] = sc_bn_s
+        params[f"body{i}"] = p
+        stats[f"body{i}"] = s
+
+    out = v.sub("output_layer")
+    obn_p, obn_s = out.bn("0")
+    params["output_bn"] = obn_p
+    stats["output_bn"] = obn_s
+    lin = out.linear("3")
+    params["linear_weight"] = lin["weight"]
+    params["linear_bias"] = lin["bias"]
+    params["head_weight"] = out.get("4.weight")
+    params["head_bias"] = out.get("4.bias")
+    stats["head_mean"] = out.get("4.running_mean")
+    stats["head_var"] = out.get("4.running_var")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_mobilefacenet(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """arcface mobilefacenet checkpoint -> s2v_tpu MobileFaceNet variables
+    (backbones/mobilefacenet.py:90-120 key layout: nested .layers
+    Sequentials)."""
+    v = SDView(sd, prefix)
+
+    def conv_block(view: SDView):
+        bn_p, bn_s = view.bn("layers.1")
+        return ({"conv": view.conv("layers.0", bias=False), "bn": bn_p,
+                 "prelu": {"alpha": view.get("layers.2.weight")}},
+                {"bn": bn_s})
+
+    def linear_block(view: SDView):
+        bn_p, bn_s = view.bn("layers.1")
+        return ({"conv": view.conv("layers.0", bias=False), "bn": bn_p},
+                {"bn": bn_s})
+
+    def depthwise(view: SDView):
+        pw_p, pw_s = conv_block(view.sub("layers.0"))
+        dw_p, dw_s = conv_block(view.sub("layers.1"))
+        pj_p, pj_s = linear_block(view.sub("layers.2"))
+        return ({"pw": pw_p, "dw": dw_p, "proj": pj_p},
+                {"pw": pw_s, "dw": dw_s, "proj": pj_s})
+
+    params: Dict = {}
+    stats: Dict = {}
+    residual_blocks = {3: 4, 5: 6, 7: 2}
+    for i in range(8):
+        view = v.sub(f"layers.{i}")
+        if i in (0, 1):
+            params[f"l{i}"], stats[f"l{i}"] = conv_block(view)
+        elif i in residual_blocks:
+            for j in range(residual_blocks[i]):
+                name = f"l{i}_{j}"
+                params[name], stats[name] = depthwise(view.sub(f"layers.{j}"))
+        else:
+            params[f"l{i}"], stats[f"l{i}"] = depthwise(view)
+    params["conv_sep"], stats["conv_sep"] = conv_block(v.sub("conv_sep"))
+    params["gdc_dw"], stats["gdc_dw"] = linear_block(
+        v.sub("features.layers.0"))
+    params["gdc_weight"] = np.transpose(v.get("features.layers.2.weight"))
+    out = v.sub("features.layers.3")
+    params["head_weight"] = out.get("weight")
+    params["head_bias"] = out.get("bias")
+    stats["head_mean"] = out.get("running_mean")
+    stats["head_var"] = out.get("running_var")
+    return {"params": params, "batch_stats": stats}
