@@ -84,10 +84,14 @@ def load_models(checkpoint_dir: str):
         aux["parsenet"] = as_vars(
             W.convert_parsenet(W.load_torch_checkpoint(parse_path, key=None))
         )
-    gfp_path = maybe("GFPGANv1.4.pth")
+    gfp_path = maybe("GFPGANv1.4.pth") or maybe("GFPGANv1.3.pth")
     if gfp_path:
         sd = W.load_torch_checkpoint(gfp_path, key="params_ema")
         aux["gfpgan"] = as_vars(W.convert_gfpgan_clean(sd))
+    elif maybe("GFPGANv1.pth"):
+        sd = W.load_torch_checkpoint(maybe("GFPGANv1.pth"), key="params_ema")
+        aux["gfpgan"] = as_vars(W.convert_gfpgan_v1(sd))
+        aux["gfpgan_arch"] = "original"
     gpen512 = maybe("GPEN-BFR-512.pth") or maybe(
         os.path.join("weights", "GPEN-BFR-512.pth")
     )

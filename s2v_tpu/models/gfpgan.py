@@ -169,3 +169,194 @@ class GFPGANv1Clean(nn.Module):
             name="stylegan_decoder",
         )(style_code, conditions, input_is_latent=self.input_is_latent,
           deterministic=deterministic)
+
+
+# ---------------------------------------------------------------------------
+# GFPGANv1 — the ORIGINAL architecture (gfpganv1_arch.py:12-404): basicsr
+# StyleGAN2 decoder (blur-resample + equalized lr, the GFPGANv1.pth family)
+# with SFT conditions. The bilinear variant (gfpgan_bilinear_arch.py) is the
+# CUDA-op-free inference twin of this same architecture/weights.
+# Reuses GPEN's StyleGAN2 pieces (models/gpen.py) with add-noise
+# (isconcat=False) — identical math to basicsr.archs.stylegan2_arch.
+# ---------------------------------------------------------------------------
+
+
+class StyleGAN2GeneratorSFT(nn.Module):
+    """gfpganv1_arch.py:12-131: basicsr StyleGAN2Generator + SFT injection."""
+
+    out_size: int = 512
+    num_style_feat: int = 512
+    num_mlp: int = 8
+    channel_multiplier: int = 1
+    narrow: float = 1.0
+    sft_half: bool = False
+
+    @nn.compact
+    def __call__(self, styles, conditions: List, input_is_latent: bool = False,
+                 deterministic: bool = True):
+        from s2v_tpu.models.gpen import (
+            EqualLinear,
+            GPENToRGB,
+            StyledConv,
+            channels_table,
+        )
+
+        ch = channels_table(self.narrow, self.channel_multiplier)
+        log_size = int(math.log2(self.out_size))
+        n_latent = log_size * 2 - 2
+
+        latent = styles
+        if not input_is_latent:
+            s = latent * jax.lax.rsqrt(
+                jnp.mean(latent * latent, axis=-1, keepdims=True) + 1e-8)
+            for i in range(self.num_mlp):
+                s = EqualLinear(self.num_style_feat, lr_mul=0.01,
+                                activation="fused_lrelu",
+                                name=f"style{i}")(s)
+            latent = s
+        if latent.ndim < 3:
+            latent = jnp.repeat(latent[:, None, :], n_latent, axis=1)
+
+        b = latent.shape[0]
+        const = self.param("constant_input", nn.initializers.normal(1.0),
+                           (1, 4, 4, ch[4]))
+        out = jnp.repeat(const.astype(latent.dtype), b, axis=0)
+        out = StyledConv(ch[4], 3, self.num_style_feat, isconcat=False,
+                         name="style_conv1")(out, latent[:, 0],
+                                             deterministic=deterministic)
+        skip = GPENToRGB(self.num_style_feat, upsample=False, name="to_rgb1")(
+            out, latent[:, 1])
+
+        i = 1
+        for idx, res_log in enumerate(range(3, log_size + 1)):
+            out_ch = ch[2 ** res_log]
+            out = StyledConv(out_ch, 3, self.num_style_feat, upsample=True,
+                             isconcat=False, name=f"style_convs{2 * idx}")(
+                out, latent[:, i], deterministic=deterministic)
+            if i < len(conditions):
+                if self.sft_half:  # SFT on the second half of the channels
+                    half = out.shape[-1] // 2
+                    same, sft = out[..., :half], out[..., half:]
+                    sft = sft * conditions[i - 1] + conditions[i]
+                    out = jnp.concatenate([same, sft], axis=-1)
+                else:
+                    out = out * conditions[i - 1] + conditions[i]
+            out = StyledConv(out_ch, 3, self.num_style_feat, isconcat=False,
+                             name=f"style_convs{2 * idx + 1}")(
+                out, latent[:, i + 1], deterministic=deterministic)
+            skip = GPENToRGB(self.num_style_feat, name=f"to_rgbs{idx}")(
+                out, latent[:, i + 2], skip)
+            i += 2
+        return skip
+
+
+class ConvUpLayer(nn.Module):
+    """gfpganv1_arch.py:132-196: bilinear x2 + equalized conv + fused lrelu."""
+
+    features: int
+    kernel: int
+    padding: int = 0
+    use_bias: bool = True
+    activate: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        from s2v_tpu.models.gpen import EqualConv
+        from s2v_tpu.ops.image import resize_bilinear
+        from s2v_tpu.ops.pallas.fused_act import fused_bias_leaky_relu_ref
+
+        h, w = x.shape[1:3]
+        x = resize_bilinear(x, (2 * h, 2 * w))
+        x = EqualConv(self.features, self.kernel, 1, self.padding,
+                      use_bias=self.use_bias and not self.activate,
+                      name="conv")(x)
+        if self.activate:
+            if self.use_bias:
+                bias = self.param("act_bias", nn.initializers.zeros,
+                                  (self.features,))
+                return fused_bias_leaky_relu_ref(x, bias)
+            return (2.0 ** 0.5) * jnp.where(x >= 0, x, 0.2 * x)
+        return x
+
+
+class ResUpBlock(nn.Module):
+    """gfpganv1_arch.py:197-219."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        from s2v_tpu.models.gpen import ConvLayer
+
+        out = ConvLayer(x.shape[-1], 3, name="conv1")(x)
+        out = ConvUpLayer(self.features, 3, 1, name="conv2")(out)
+        skip = ConvUpLayer(self.features, 1, use_bias=False, activate=False,
+                           name="skip")(x)
+        return (out + skip) / math.sqrt(2)
+
+
+class GFPGANv1(nn.Module):
+    """gfpganv1_arch.py:221-404 (the GFPGANv1.pth configuration:
+    channel_multiplier 1, sft_half False unless set)."""
+
+    out_size: int = 512
+    num_style_feat: int = 512
+    channel_multiplier: int = 1
+    different_w: bool = False
+    narrow: float = 1.0
+    sft_half: bool = False
+    input_is_latent: bool = False
+    num_mlp: int = 8
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        from s2v_tpu.models.gpen import ConvLayer, EqualConv, EqualLinear, GPENResBlock
+
+        unet_narrow = self.narrow * 0.5
+        ch = _channels(unet_narrow, self.channel_multiplier)
+        log_size = int(math.log2(self.out_size))
+
+        feat = ConvLayer(ch[self.out_size], 1, name="conv_body_first")(x)
+        unet_skips = []
+        for i in range(log_size, 2, -1):
+            feat = GPENResBlock(ch[2 ** (i - 1)],
+                                name=f"conv_body_down{log_size - i}")(feat)
+            unet_skips.insert(0, feat)
+        feat = ConvLayer(ch[4], 3, name="final_conv")(feat)
+
+        flat = jnp.transpose(feat, (0, 3, 1, 2)).reshape(feat.shape[0], -1)
+        n_latent = log_size * 2 - 2
+        lin_out = (n_latent * self.num_style_feat if self.different_w
+                   else self.num_style_feat)
+        style_code = EqualLinear(lin_out, name="final_linear")(flat)
+        if self.different_w:
+            style_code = style_code.reshape(
+                style_code.shape[0], -1, self.num_style_feat)
+
+        conditions = []
+        out_rgbs = []
+        for i in range(log_size - 2):
+            feat = feat + unet_skips[i]
+            feat = ResUpBlock(ch[2 ** (i + 3)], name=f"conv_body_up{i}")(feat)
+            sft_ch = feat.shape[-1] if self.sft_half else feat.shape[-1] * 2
+            scale = EqualConv(feat.shape[-1], 3, 1, 1,
+                              name=f"condition_scale{i}_0")(feat)
+            scale = (2.0 ** 0.5) * jnp.where(scale >= 0, scale, 0.2 * scale)
+            scale = EqualConv(sft_ch, 3, 1, 1,
+                              name=f"condition_scale{i}_1")(scale)
+            shift = EqualConv(feat.shape[-1], 3, 1, 1,
+                              name=f"condition_shift{i}_0")(feat)
+            shift = (2.0 ** 0.5) * jnp.where(shift >= 0, shift, 0.2 * shift)
+            shift = EqualConv(sft_ch, 3, 1, 1,
+                              name=f"condition_shift{i}_1")(shift)
+            conditions.append(scale)
+            conditions.append(shift)
+            out_rgbs.append(EqualConv(3, 1, name=f"toRGB{i}")(feat))
+
+        image = StyleGAN2GeneratorSFT(
+            self.out_size, self.num_style_feat, self.num_mlp,
+            self.channel_multiplier,
+            self.narrow, self.sft_half, name="stylegan_decoder",
+        )(style_code, conditions, input_is_latent=self.input_is_latent,
+          deterministic=deterministic)
+        return image, out_rgbs

@@ -200,3 +200,26 @@ class MobileFaceNet(nn.Module):
         beta = self.param("head_bias", nn.initializers.zeros,
                           (self.num_features,))
         return (h - mean) * jax.lax.rsqrt(var + 1e-5) * g + beta
+
+
+# arcface backbones/__init__.py get_model registry (iresnet.py:164-186 layer
+# configs + iresnet2060.py:175 + mobilefacenet get_mbf)
+_IRESNET_LAYERS = {
+    "r18": (2, 2, 2, 2),
+    "r34": (3, 4, 6, 3),
+    "r50": (3, 4, 14, 3),
+    "r100": (3, 13, 30, 3),
+    "r200": (6, 26, 60, 6),
+    "r2060": (3, 128, 1024 - 128, 3),
+}
+
+
+def get_model(name: str, num_features: int = 512):
+    """backbones/__init__.py:5-25: backbone by config name."""
+    if name in _IRESNET_LAYERS:
+        return IResNet(layers=_IRESNET_LAYERS[name],
+                       num_features=num_features)
+    if name == "mbf":
+        return MobileFaceNet(num_features=num_features)
+    raise ValueError(f"unknown backbone {name!r}; "
+                     f"options: {sorted(_IRESNET_LAYERS) + ['mbf']}")

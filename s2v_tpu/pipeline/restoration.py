@@ -38,15 +38,20 @@ FACEXLIB_TEMPLATE_512 = np.array(
 class GFPGANRestorer:
     """GFPGANer equivalent. models: {'retinaface', 'gfpgan'} flax vars."""
 
-    def __init__(self, models: Dict, threshold: float = 0.9):
-        from s2v_tpu.models.gfpgan import GFPGANv1Clean
+    def __init__(self, models: Dict, threshold: float = 0.9,
+                 arch: str = "clean"):
+        from s2v_tpu.models.gfpgan import GFPGANv1, GFPGANv1Clean
         from s2v_tpu.models.retinaface import (
             RETINA_MEAN, RetinaFace, detect_faces,
         )
 
         self.models = models
         retina = RetinaFace()
-        gfpgan = GFPGANv1Clean()
+        if arch == "clean":
+            gfpgan = GFPGANv1Clean()
+        else:  # 'original'/'bilinear': utils.py:63-74 GFPGANv1.pth config
+            gfpgan = GFPGANv1(input_is_latent=True, different_w=True,
+                              sft_half=True, channel_multiplier=1)
 
         @jax.jit
         def detect(variables, frames_rgb):
@@ -59,6 +64,8 @@ class GFPGANRestorer:
             x = faces_rgb / 255.0
             x = (x - 0.5) / 0.5
             out = gfpgan.apply(variables, x, deterministic=True)
+            if isinstance(out, tuple):
+                out = out[0]
             return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0) * 255.0
 
         self._detect = detect
@@ -101,7 +108,7 @@ def make_mouth_restorer(models: Dict) -> Optional[Callable]:
 
     from s2v_tpu.models.parsenet import MOUTH_COLORMAP, ParseNet, parse_mask
 
-    restorer = GFPGANRestorer(models)
+    restorer = GFPGANRestorer(models, arch=models.get("gfpgan_arch", "clean"))
     parser = ParseNet()
 
     @jax.jit

@@ -986,7 +986,8 @@ class TrackingStateDict(dict):
 
 
 _COVERAGE_IGNORE = ("num_batches_tracked", ".weight_orig", ".weight_u",
-                    ".weight_v", "cluster_size", "embed_avg", ".inited")
+                    ".weight_v", "cluster_size", "embed_avg", ".inited",
+                    ".kernel", "noises.noise")  # blur/noise buffers
 
 
 def conversion_coverage(convert_fn, sd: Dict[str, np.ndarray], *args,
@@ -1161,3 +1162,79 @@ def convert_mobilefacenet(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
     stats["head_mean"] = out.get("running_mean")
     stats["head_var"] = out.get("running_var")
     return {"params": params, "batch_stats": stats}
+
+
+# --------------------------------------------------------------------------
+# GFPGANv1 (original arch, gfpganv1_arch.py — basicsr StyleGAN2 key names)
+# --------------------------------------------------------------------------
+
+def _bsr_styledconv(v: SDView) -> Dict:
+    """basicsr StyleConv: modulated_conv + scalar noise `weight` + activate."""
+    return {
+        "conv": _gpen_modconv(v.sub("modulated_conv")),
+        "noise_weight": v.get("weight").reshape(-1),
+        "act_bias": v.get("activate.bias"),
+    }
+
+
+def _bsr_torgb(v: SDView) -> Dict:
+    return {
+        "conv": _gpen_modconv(v.sub("modulated_conv")),
+        "bias": v.get("bias").reshape(-1),
+    }
+
+
+def _conv_up_layer(v: SDView, activate: bool = True) -> Dict:
+    out = {"conv": {"weight": np.transpose(v.get("weight"), (2, 3, 1, 0))}}
+    if activate:
+        out["act_bias"] = v.get("activation.bias")
+    return out
+
+
+def convert_gfpgan_v1(sd: Dict[str, np.ndarray], out_size: int = 512,
+                      num_mlp: int = 8, prefix: str = "") -> Dict:
+    """GFPGANv1.pth ('params_ema'/'params' dict, original basicsr arch)
+    -> s2v_tpu.models.gfpgan.GFPGANv1 variables."""
+    import math
+
+    v = SDView(sd, prefix)
+    log_size = int(math.log2(out_size))
+    params: Dict = {
+        "conv_body_first": _gpen_convlayer(v.sub("conv_body_first"),
+                                           downsample=False),
+        "final_conv": _gpen_convlayer(v.sub("final_conv"), downsample=False),
+        "final_linear": v.linear("final_linear"),
+    }
+    for i in range(log_size - 2):
+        blk = v.sub(f"conv_body_down.{i}")
+        params[f"conv_body_down{i}"] = {
+            "conv1": _gpen_convlayer(blk.sub("conv1"), downsample=False),
+            "conv2": _gpen_convlayer(blk.sub("conv2"), downsample=True),
+            "skip": _gpen_convlayer(blk.sub("skip"), downsample=True),
+        }
+        up = v.sub(f"conv_body_up.{i}")
+        params[f"conv_body_up{i}"] = {
+            "conv1": _gpen_convlayer(up.sub("conv1"), downsample=False),
+            "conv2": _conv_up_layer(up.sub("conv2")),
+            "skip": _conv_up_layer(up.sub("skip"), activate=False),
+        }
+        for kind in ("scale", "shift"):
+            seq = v.sub(f"condition_{kind}.{i}")
+            params[f"condition_{kind}{i}_0"] = seq.conv("0")
+            params[f"condition_{kind}{i}_1"] = seq.conv("2")
+        params[f"toRGB{i}"] = v.conv(f"toRGB.{i}")
+
+    dec = v.sub("stylegan_decoder")
+    d: Dict = {
+        "constant_input": dec.get("constant_input.weight").transpose(0, 2, 3, 1),
+        "style_conv1": _bsr_styledconv(dec.sub("style_conv1")),
+        "to_rgb1": _bsr_torgb(dec.sub("to_rgb1")),
+    }
+    for i in range(num_mlp):
+        d[f"style{i}"] = dec.linear(f"style_mlp.{i + 1}")
+    for k in range(2 * (log_size - 2)):
+        d[f"style_convs{k}"] = _bsr_styledconv(dec.sub(f"style_convs.{k}"))
+    for k in range(log_size - 2):
+        d[f"to_rgbs{k}"] = _bsr_torgb(dec.sub(f"to_rgbs.{k}"))
+    params["stylegan_decoder"] = d
+    return {"params": params}

@@ -97,3 +97,17 @@ def test_mobilefacenet_parity():
             np.ascontiguousarray(x.transpose(0, 3, 1, 2)))).numpy()
     got = np.asarray(MobileFaceNet().apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=0, atol=2e-4)
+
+
+def test_get_model_registry():
+    from s2v_tpu.models.iresnet import IResNet, MobileFaceNet, get_model
+
+    assert isinstance(get_model("mbf"), MobileFaceNet)
+    for name, want in [("r18", (2, 2, 2, 2)), ("r100", (3, 13, 30, 3)),
+                       ("r2060", (3, 128, 896, 3))]:
+        m = get_model(name)
+        assert isinstance(m, IResNet) and tuple(m.layers) == want
+    import pytest
+
+    with pytest.raises(ValueError):
+        get_model("vit")
