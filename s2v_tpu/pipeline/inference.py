@@ -133,19 +133,22 @@ class LipSyncPipeline:
         return self._jits["fan"]
 
     def detect_boxes(self, frames_rgb: np.ndarray, batch: int = 8) -> np.ndarray:
-        """[N,H,W,3] uint8 RGB -> [N,4] best face boxes (float, unclipped)."""
+        """[N,H,W,3] uint8 RGB -> [N,4] best face boxes (float, unclipped).
+
+        On device OOM the batch is halved and the sweep restarts — the
+        reference's face_detect backoff (inference_utils.py:110-128)."""
         self._require("s3fd")
         run = self._detect_fn()
-        out, valid = [], []
         x = frames_rgb.astype(np.float32)
-        for i in range(0, len(x), batch):
-            chunk = x[i : i + batch]
-            pad = batch - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-            b, v = run(self.models.s3fd, jnp.asarray(chunk))
-            out.append(np.asarray(b)[: batch - pad])
-            valid.append(np.asarray(v)[: batch - pad])
+        while True:
+            try:
+                out, valid = self._detect_sweep(run, x, batch)
+                break
+            except (RuntimeError, jax.errors.JaxRuntimeError) as e:
+                if "RESOURCE_EXHAUSTED" not in str(e) or batch == 1:
+                    raise
+                batch //= 2
+                print(f"Recovering from OOM error; New batch size: {batch}")
         boxes = np.concatenate(out)
         ok = np.concatenate(valid)
         if not ok.all():
@@ -156,6 +159,18 @@ class LipSyncPipeline:
                 "a face in all the frames."
             )
         return boxes
+
+    def _detect_sweep(self, run, x: np.ndarray, batch: int):
+        out, valid = [], []
+        for i in range(0, len(x), batch):
+            chunk = x[i : i + batch]
+            pad = batch - len(chunk)
+            if pad:
+                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+            b, v = run(self.models.s3fd, jnp.asarray(chunk))
+            out.append(np.asarray(b)[: batch - pad])
+            valid.append(np.asarray(v)[: batch - pad])
+        return out, valid
 
     def extract_landmarks(self, frames_rgb: np.ndarray, batch: int = 8) -> np.ndarray:
         """[N,H,W,3] uint8 RGB -> [N,68,2] landmarks (KeypointExtractor

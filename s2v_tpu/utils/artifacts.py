@@ -96,3 +96,33 @@ class ArtifactWriter:
         with open(json_path, "w") as f:
             json.dump(self._history, f)
         return path
+
+    def embedding_scatter(self, step: int, name: str,
+                          embeddings: np.ndarray,
+                          labels: Optional[Sequence] = None) -> str:
+        """2-D embedding projection scatter as a self-contained SVG
+        (emb/utils/artifacts.py t-SNE figure; PCA projection here — this
+        image has no sklearn and PCA keeps the dump deterministic)."""
+        x = np.asarray(embeddings, np.float64)
+        x = x - x.mean(0)
+        _, _, vt = np.linalg.svd(x, full_matrices=False)
+        p = x @ vt[:2].T  # [N, 2]
+        lo, hi = p.min(0), p.max(0)
+        span = np.maximum(hi - lo, 1e-9)
+        w, h, pad = 480, 480, 20
+        px = pad + (p[:, 0] - lo[0]) / span[0] * (w - 2 * pad)
+        py = h - pad - (p[:, 1] - lo[1]) / span[1] * (h - 2 * pad)
+        if labels is None:
+            labels = np.zeros(len(p), int)
+        uniq = {l: i for i, l in enumerate(dict.fromkeys(labels))}
+        colors = ["#27f", "#f42", "#2a2", "#a2a", "#fa0", "#0aa", "#888"]
+        dots = "".join(
+            f"<circle cx='{a:.1f}' cy='{b:.1f}' r='3' "
+            f"fill='{colors[uniq[l] % len(colors)]}'/>"
+            for a, b, l in zip(px, py, labels)
+        )
+        path = self._path(step, f"{name}.svg")
+        with open(path, "w") as f:
+            f.write(f"<svg xmlns='http://www.w3.org/2000/svg' width='{w}' "
+                    f"height='{h}' style='background:#fff'>{dots}</svg>")
+        return path
