@@ -100,3 +100,24 @@ class ReconNet(nn.Module):
             head = Conv(d, (1, 1), name=f"head{i}")(feat)
             outs.append(head.reshape(x.shape[0], d))
         return jnp.concatenate(outs, axis=1)
+
+
+class ResNetDepth(nn.Module):
+    """FAN's 3D-landmark depth regressor (reference:
+    third_part/face_detection/models.py:204-262): bottleneck ResNet-152
+    ([3, 8, 36, 3]) over a 71-channel input (RGB + 68 landmark heatmaps),
+    fixed AvgPool2d(7) (NOT adaptive — on a 256^2 input the final 8^2 map is
+    pooled over its top-left 7x7 window, reproduced exactly), 68-dim head."""
+
+    num_classes: int = 68
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        feat = ResNet(layers=(3, 8, 36, 3), pool_output=False,
+                      name="backbone")(x, train)
+        feat = nn.avg_pool(feat, (7, 7), (7, 7))  # torch AvgPool2d(7)
+        flat = jnp.transpose(feat, (0, 3, 1, 2)).reshape(feat.shape[0], -1)
+        w = self.param("fc_weight", nn.initializers.normal(0.01),
+                       (flat.shape[-1], self.num_classes))
+        b = self.param("fc_bias", nn.initializers.zeros, (self.num_classes,))
+        return flat @ w + b

@@ -1238,3 +1238,23 @@ def convert_gfpgan_v1(sd: Dict[str, np.ndarray], out_size: int = 512,
         d[f"to_rgbs{k}"] = _bsr_torgb(dec.sub(f"to_rgbs.{k}"))
     params["stylegan_decoder"] = d
     return {"params": params}
+
+
+def convert_resnet_depth(sd: Dict[str, np.ndarray], prefix: str = "") -> Dict:
+    """FAN depth checkpoint (face_detection/models.py ResNetDepth) -> flax
+    variables for s2v_tpu.models.resnet.ResNetDepth."""
+    v = SDView(sd, prefix)
+    tree: Dict = {"conv1": v.conv("conv1", bias=False)}
+    bn_p, bn_s = v.bn("bn1")
+    tree["bn1"] = bn_p
+    tree["bn1__stats"] = bn_s
+    for stage, n in enumerate((3, 8, 36, 3)):
+        for b in range(n):
+            tree[f"layer{stage + 1}_{b}"] = _bottleneck(
+                v.sub(f"layer{stage + 1}.{b}")
+            )
+    params, stats = _split_stats(tree)
+    lin = v.linear("fc")
+    return {"params": {"backbone": params,
+                       "fc_weight": lin["weight"], "fc_bias": lin["bias"]},
+            "batch_stats": {"backbone": stats}}

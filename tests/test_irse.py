@@ -111,3 +111,31 @@ def test_get_model_registry():
 
     with pytest.raises(ValueError):
         get_model("vit")
+
+
+def test_resnet_depth_parity():
+    """ResNetDepth vs face_detection/models.py (3D-landmark depth net)."""
+    from s2v_tpu.models.resnet import ResNetDepth
+    from s2v_tpu.utils.weights import conversion_coverage, convert_resnet_depth
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_fan_models", "/root/reference/third_part/face_detection/models.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    torch.manual_seed(47)
+    ref = mod.ResNetDepth().eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()
+          if "num_batches_tracked" not in k}
+    variables, leftover = conversion_coverage(convert_resnet_depth, sd)
+    assert leftover == []
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+
+    # 224^2: final map 7x7 so the fixed (non-adaptive) AvgPool2d(7) covers it
+    x = RNG.rand(1, 224, 224, 71).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(
+            np.ascontiguousarray(x.transpose(0, 3, 1, 2)))).numpy()
+    got = np.asarray(ResNetDepth().apply(variables, jnp.asarray(x)))
+    # random-init 152-layer magnitudes reach 1e8 -> compare relatively
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1.0)
