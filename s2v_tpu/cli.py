@@ -125,6 +125,7 @@ def main(argv=None):
     # reference-style flat flags (futils/inference_utils.py options()) map
     # onto infer.*; dotted keys address the config tree directly
     flat_flags = {
+        "config",
         "face", "audio", "outfile", "exp_img", "up_face", "fps", "pads",
         "static", "one_shot", "tmp_dir", "re_preprocess", "checkpoint_dir",
         "cropped_image", "nosmooth", "without_rl1", "box", "crop",
@@ -156,6 +157,8 @@ def main(argv=None):
                 i += 1
             if "." in key:
                 overrides[key] = val
+            elif key == "config":
+                overrides["config"] = val
             elif key in flat_flags:
                 if key == "LNet_batch_size":
                     key = "lnet_batch_size"
@@ -164,9 +167,12 @@ def main(argv=None):
                 raise SystemExit(f"unknown flag --{key}")
         else:
             i += 1
-    from s2v_tpu.utils.config import PipelineConfig, override
+    from s2v_tpu.utils.config import PipelineConfig, load_config_file, override
 
-    cfg = override(PipelineConfig(), overrides)
+    cfg = PipelineConfig()
+    if "config" in overrides:  # --config file.yml|json|py applied first,
+        cfg = load_config_file(overrides.pop("config"), base=cfg)
+    cfg = override(cfg, overrides)  # explicit flags win
 
     if command == "infer":
         from s2v_tpu.pipeline.inference import LipSyncPipeline

@@ -203,3 +203,53 @@ def from_cli(argv: Optional[list] = None) -> PipelineConfig:
         else:
             i += 1
     return override(PipelineConfig(), overrides)
+
+
+def _flatten(prefix: str, node) -> dict:
+    out = {}
+    for k, v in node.items():
+        key = f"{prefix}.{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(key, v))
+        else:
+            out[key] = v
+    return out
+
+
+def load_config_file(path: str, base: Any = None) -> Any:
+    """Config-file overlay — the analogue of the reference's five config
+    systems (arcface py-file configs via utils_config.get_config, emb
+    OmegaConf YAML, face3d argparse options, GFPGAN basicsr YAML, GPEN
+    argparse): nested YAML/JSON (or a .py file defining ``config = {...}``)
+    flattened to dotted keys and applied over the dataclass tree."""
+    import json
+    import os
+    import runpy
+
+    base = base if base is not None else PipelineConfig()
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".py":
+        ns = runpy.run_path(path)
+        if "config" not in ns:
+            raise ValueError(f"{path} must define a dict named `config`")
+        data = ns["config"]
+    elif ext in (".yml", ".yaml"):
+        import yaml
+
+        with open(path) as f:
+            data = yaml.safe_load(f)
+    elif ext == ".json":
+        with open(path) as f:
+            data = json.load(f)
+    else:
+        raise ValueError(f"unsupported config extension {ext!r} "
+                         "(use .yml/.yaml/.json/.py)")
+    if not isinstance(data, dict):
+        raise ValueError(f"{path} must contain a mapping at the top level")
+    def norm(v):
+        if isinstance(v, (list, tuple)):  # YAML/JSON lists -> tuple fields
+            return ",".join(str(x) for x in v)
+        return v if isinstance(v, str) else repr(v)
+
+    flat = {k: norm(v) for k, v in _flatten("", data).items()}
+    return override(base, flat)
