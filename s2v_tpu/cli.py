@@ -118,12 +118,11 @@ def load_models(checkpoint_dir: str):
     return models
 
 
-def main(argv=None):
-    argv = list(sys.argv[1:] if argv is None else argv)
-    command = argv.pop(0) if argv and not argv[0].startswith("--") else "infer"
-
-    # reference-style flat flags (futils/inference_utils.py options()) map
-    # onto infer.*; dotted keys address the config tree directly
+def parse_args(argv):
+    """argv (without the command) -> PipelineConfig. Reference-style flat
+    flags (futils/inference_utils.py options()) map onto infer.*; dotted
+    keys address the config tree directly; --config overlays a file first.
+    """
     flat_flags = {
         "config",
         "face", "audio", "outfile", "exp_img", "up_face", "fps", "pads",
@@ -172,7 +171,13 @@ def main(argv=None):
     cfg = PipelineConfig()
     if "config" in overrides:  # --config file.yml|json|py applied first,
         cfg = load_config_file(overrides.pop("config"), base=cfg)
-    cfg = override(cfg, overrides)  # explicit flags win
+    return override(cfg, overrides)  # explicit flags win
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    command = argv.pop(0) if argv and not argv[0].startswith("--") else "infer"
+    cfg = parse_args(argv)
 
     if command == "infer":
         from s2v_tpu.pipeline.inference import LipSyncPipeline
