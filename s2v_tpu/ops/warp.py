@@ -128,6 +128,46 @@ def crop_resize_boxes(images: jnp.ndarray, boxes, out_hw) -> jnp.ndarray:
     return grid_sample_bilinear(images, grid)
 
 
+def affine_warp(images: jnp.ndarray, mats: jnp.ndarray, out_hw,
+                inverse: bool = False) -> jnp.ndarray:
+    """Batched ``cv2.warpAffine(src, M, dsize)`` with bilinear sampling.
+
+    images: [N, H, W, C]; mats: [N, 2, 3] affine matrices mapping source
+    coords to destination coords (cv2's convention — the matrix is inverted
+    internally unless ``inverse=True``, the WARP_INVERSE_MAP analogue where
+    ``mats`` already maps destination to source). out_hw: static (oh, ow).
+
+    TPU-first: the sampling grid is built on-device from the 2x3 params via
+    broadcasted iota instead of materializing [N, oh, ow, 2] grids on host —
+    at 2048^2 output (the GPEN-BFR-2048 final-enhancement crop,
+    /root/reference/third_part/GPEN/face_enhancement.py:123) a host grid
+    would cost 33 MB/frame of PCIe traffic. Out-of-source samples are zero
+    (cv2 BORDER_CONSTANT default).
+    """
+    n = images.shape[0]
+    h, w = images.shape[1], images.shape[2]
+    oh, ow = out_hw
+    m = jnp.asarray(mats, jnp.float32)
+    a00, a01, a02 = m[:, 0, 0], m[:, 0, 1], m[:, 0, 2]
+    a10, a11, a12 = m[:, 1, 0], m[:, 1, 1], m[:, 1, 2]
+    if not inverse:
+        det = a00 * a11 - a01 * a10
+        i00, i01 = a11 / det, -a01 / det
+        i10, i11 = -a10 / det, a00 / det
+        i02 = -(i00 * a02 + i01 * a12)
+        i12 = -(i10 * a02 + i11 * a12)
+    else:
+        i00, i01, i02, i10, i11, i12 = a00, a01, a02, a10, a11, a12
+    xs = jnp.arange(ow, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(oh, dtype=jnp.float32)[None, :, None]
+    c = lambda v: v[:, None, None]
+    sx = c(i00) * xs + c(i01) * ys + c(i02)  # [N, oh, ow]
+    sy = c(i10) * xs + c(i11) * ys + c(i12)
+    gx = (2.0 * sx + 1.0) / w - 1.0
+    gy = (2.0 * sy + 1.0) / h - 1.0
+    return grid_sample_bilinear(images, jnp.stack([gx, gy], axis=-1))
+
+
 def paste_resize_boxes(frames: jnp.ndarray, preds: jnp.ndarray,
                        boxes) -> jnp.ndarray:
     """Batched inverse of crop_resize_boxes: bilinear-resize each pred to its

@@ -4,12 +4,21 @@ third_part/GPEN/face_enhancement.py:48-193 + align_faces.py).
 Flow per frame: RetinaFace detect (best face + 5 landmarks) -> umeyama
 similarity warp to the reference facial points -> FullGenerator (GAN
 enhance) -> ParseNet face mask -> border-zero + double-gaussian mask
-postprocess -> inverse affine paste -> composite (direct, SR-composite, or
-Laplacian-pyramid blend — the reference's "possion_blending" path,
-face_enhancement.py:177-189).
+postprocess -> inverse affine paste -> composite. Three composite modes,
+matching face_enhancement.py:91-193:
 
-TPU-first: detection, GAN, parsing and all warps are batched jitted
-programs; per-frame host work is limited to the 2x3 similarity solves.
+- ``use_sr``: RealESRNet (RRDBNet x``sr_scale``) super-resolves the full
+  frame first; detection/warp run on the bilinear-2x frame and the enhanced
+  face is composited over the SR frame (face_enhancement.py:103-106,177-178)
+  — the GPEN-BFR-2048 final-enhancement configuration (inference.py:228-231).
+- ``possion_blending``: 6-level Laplacian-pyramid blend at 512^2, optional
+  bbox-restricted mask (face_enhancement.py:179-189).
+- default: double alpha composite over the original (face_enhancement.py:191-193).
+
+TPU-first: detection, SR, GAN, parsing, every affine warp and the composites
+are *batched* jitted programs over frame chunks; the host only solves the
+per-frame 2x3 umeyama similarity (tiny) — no per-frame device round-trips
+(the reference loops frames on host, inference.py:234-238,317-330).
 """
 
 from __future__ import annotations
@@ -22,8 +31,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from s2v_tpu.ops.warp import grid_sample_bilinear
-from s2v_tpu.pipeline.utils import gaussian_blur, laplacian_pyramid_blend
+from s2v_tpu.ops.image import resize_bilinear
+from s2v_tpu.ops.warp import affine_warp, grid_sample_bilinear
+from s2v_tpu.pipeline.utils import gaussian_blur, laplacian_pyramid_blend, mask_postprocess
 
 # align_faces.py:14-22
 REFERENCE_FACIAL_POINTS = np.array(
@@ -32,6 +42,13 @@ REFERENCE_FACIAL_POINTS = np.array(
      [62.72990036, 92.20410156]], np.float32,
 )
 DEFAULT_CROP_SIZE = (96, 112)
+
+# the small-face smoothing kernel (face_enhancement.py:72-75)
+SMALL_FACE_KERNEL = np.array(
+    [[0.0625, 0.125, 0.0625],
+     [0.125, 0.25, 0.125],
+     [0.0625, 0.125, 0.0625]], np.float32,
+)
 
 
 def get_reference_facial_points(output_size: Tuple[int, int],
@@ -115,7 +132,8 @@ def affine_sample_grid(tfm: np.ndarray, out_hw: Tuple[int, int],
                        src_hw: Tuple[int, int]) -> np.ndarray:
     """Sampling grid equivalent to cv2.warpAffine(src, tfm, out) with
     bilinear sampling: dst(x, y) samples src at tfm^-1 (x, y) in integer
-    index space."""
+    index space. (Host-grid variant; the batched device path is
+    s2v_tpu.ops.warp.affine_warp.)"""
     m = np.vstack([tfm, [0, 0, 1]]).astype(np.float64)
     minv = np.linalg.inv(m)
     oh, ow = out_hw
@@ -141,28 +159,46 @@ def paste_mask_512() -> np.ndarray:
     return np.asarray(m)[0, :, :, 0]
 
 
+def _small_face_filter(x: jnp.ndarray) -> jnp.ndarray:
+    """cv2.filter2D with the 3x3 smoothing kernel, REFLECT_101 border
+    (face_enhancement.py:153-154, applied when min face side < 100)."""
+    c = x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    w = jnp.tile(jnp.asarray(SMALL_FACE_KERNEL)[:, :, None, None], (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        xp, w, (1, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
+
+
 class FaceEnhancer:
     """FaceEnhancement equivalent with converted flax weights.
 
     models: dict with keys 'retinaface', 'facegan' (FullGenerator[SR]
-    variables), 'parsenet', optional 'srmodel' (RRDBNet).
+    variables), 'parsenet', and — when ``use_sr`` — 'srmodel' (RRDBNet).
     """
 
     # face region colormap (face_enhancement.py:141)
     MM = [0, 255, 255, 255, 255, 255, 255, 255, 0, 0, 255, 255, 255, 0, 0, 0, 0, 0, 0]
 
     def __init__(self, models: dict, in_size: int = 512,
-                 use_sr: bool = False, threshold: float = 0.9):
+                 use_sr: bool = False, sr_scale: int = 2,
+                 sr_num_feat: int = 32, threshold: float = 0.9,
+                 chunk: Optional[int] = None, dtype: str = "bfloat16"):
         from s2v_tpu.models.gpen import FullGenerator
         from s2v_tpu.models.parsenet import ParseNet, parse_mask
         from s2v_tpu.models.retinaface import (
             RETINA_MEAN, RetinaFace, detect_faces,
         )
+        from s2v_tpu.models.rrdbnet import RRDBNet
 
         self.models = models
         self.in_size = in_size
-        self.use_sr = use_sr
+        self.use_sr = bool(use_sr and models.get("srmodel") is not None)
+        self.sr_scale = sr_scale
         self.threshold = threshold
+        # 2048^2 GPEN crops are ~50 MB each; keep per-program batches small
+        self.chunk = chunk if chunk is not None else (1 if in_size >= 1024 else 8)
         self.reference_5pts = get_reference_facial_points(
             (in_size, in_size), 0.25, (0, 0), True
         )
@@ -170,6 +206,10 @@ class FaceEnhancer:
         retina = RetinaFace()
         facegan = FullGenerator(size=in_size)
         parser = ParseNet()
+        s = in_size
+        # GAN/SR compute dtype: bf16 keeps the MXU at full rate; detection
+        # and the mask/composite math stay f32
+        dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
 
         @jax.jit
         def detect(variables, frames_rgb):
@@ -178,77 +218,226 @@ class FaceEnhancer:
                                 frames_rgb.shape[1:3], threshold)
 
         @jax.jit
-        def enhance(variables, faces_rgb):  # [B,S,S,3] 0..255
-            x = faces_rgb / 255.0 * 2.0 - 1.0
-            out = facegan.apply(variables, x, deterministic=True)
-            return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0) * 255.0
+        def sr(variables, frames_rgb):  # [B,H,W,3] 0..255 -> [B,sH,sW,3]
+            # RealESRNet config for the final-enhancement stage: num_feat 32
+            # (real_esrnet.py:9-22, constructed at inference.py:228-231)
+            out = RRDBNet(scale=sr_scale, num_feat=sr_num_feat).apply(
+                variables, (frames_rgb / 255.0).astype(dt))
+            return jnp.clip(out.astype(jnp.float32), 0.0, 1.0) * 255.0
+
+        @functools.partial(jax.jit, static_argnums=(5,))
+        def faces_and_masks(variables_gan, variables_parse, frames, tfms,
+                            small, do_enhance):
+            """Warp to the in_size crop, GAN-enhance, parse the face mask.
+
+            frames [B,H,W,3] 0..255; tfms [B,2,3] frame->crop similarity;
+            small [B] bool (face side < 100px); do_enhance: STATIC python
+            bool — when False (the Step-5 face_enhance=False configuration,
+            inference.py:237) the generator is not in the compiled program
+            at all. Returns (ef [B,S,S,3], tmp_mask [B,S,S,1], mask_sharp512
+            [B,512,512,1]).
+            """
+            of = affine_warp(frames, tfms, (s, s))
+            if do_enhance:
+                x = (of / 255.0 * 2.0 - 1.0).astype(dt)
+                ef = facegan.apply(variables_gan, x, deterministic=True)
+                ef = jnp.clip(
+                    (ef.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0) * 255.0
+            else:
+                ef = of
+            ef = jnp.where(small[:, None, None, None],
+                           _small_face_filter(ef), ef)
+            ef512 = resize_bilinear(ef, (512, 512))
+            logits, _ = parser.apply(
+                variables_parse, (ef512 / 255.0 * 2.0 - 1.0).astype(dt))
+            mask_sharp = parse_mask(logits.astype(jnp.float32), self.MM) / 255.0
+            tmp_mask = mask_postprocess(mask_sharp, thres=26)
+            tmp_mask = resize_bilinear(tmp_mask[..., None], (s, s))
+            return ef, tmp_mask, mask_sharp[..., None]
 
         @jax.jit
-        def parse(variables, faces_rgb):  # [B,512,512,3] 0..255
-            x = faces_rgb / 255.0 * 2.0 - 1.0
-            logits, _ = parser.apply(variables, x)
-            return parse_mask(logits, self.MM)
+        def paste(ef, tmp_mask, mask_sharp512, tfm_invs, out_shape_like):
+            """Inverse-warp face + masks to frame coords
+            (face_enhancement.py:144-160). Returns (tmp_img, full_mask,
+            mask_sharp_warped) at the frame size."""
+            hw = out_shape_like.shape[1:3]
+            tmp_img = affine_warp(ef, tfm_invs, hw)
+            full_mask = affine_warp(tmp_mask, tfm_invs, hw)
+            ms = resize_bilinear(mask_sharp512, (s, s))
+            mask_sharp_w = affine_warp(ms, tfm_invs, hw)
+            # cv2.GaussianBlur(ksize=(0,0), sigma=1) on float -> ksize 9
+            # (face_enhancement.py:162)
+            mask_sharp_w = gaussian_blur(mask_sharp_w, 9, 1.0)
+            return tmp_img, full_mask, mask_sharp_w
+
+        @jax.jit
+        def composite_sr(img_sr, tmp_img, full_mask, valid):
+            out = img_sr * (1.0 - full_mask) + tmp_img * full_mask
+            out = jnp.where(valid[:, None, None, None], out, img_sr)
+            return jnp.clip(out, 0.0, 255.0)
+
+        @jax.jit
+        def composite_default(ori, tmp_img, full_mask, mask_sharp_w, valid):
+            img = ori * (1.0 - full_mask) + tmp_img * full_mask
+            out = ori * (1.0 - mask_sharp_w) + img * mask_sharp_w
+            out = jnp.where(valid[:, None, None, None], out, ori)
+            return jnp.clip(out, 0.0, 255.0)
+
+        @jax.jit
+        def composite_laplacian(ori, tmp_img, blend_mask, valid):
+            """possion_blending path (face_enhancement.py:179-189): 6-level
+            Laplacian blend at 512^2, resized back to the frame."""
+            hw = ori.shape[1:3]
+            fi = resize_bilinear(tmp_img, (512, 512))
+            o5 = resize_bilinear(ori, (512, 512))
+            m5 = resize_bilinear(blend_mask, (512, 512))
+            blended = laplacian_pyramid_blend(fi, o5, m5, num_levels=6)
+            out = resize_bilinear(jnp.clip(blended, 0.0, 255.0), hw)
+            out = jnp.where(valid[:, None, None, None], out, ori)
+            return jnp.clip(out, 0.0, 255.0)
 
         self._detect = detect
-        self._enhance = enhance
-        self._parse = parse
+        self._sr = sr
+        self._faces_and_masks = faces_and_masks
+        self._paste = paste
+        self._composite_sr = composite_sr
+        self._composite_default = composite_default
+        self._composite_laplacian = composite_laplacian
+
+    # ------------------------------------------------------------------
+
+    def _transforms(self, landms: np.ndarray, boxes: np.ndarray,
+                    valid: np.ndarray):
+        """Per-frame umeyama solves (host; ~microseconds each)."""
+        n = len(landms)
+        tfms = np.zeros((n, 2, 3), np.float32)
+        tfm_invs = np.zeros((n, 2, 3), np.float32)
+        small = np.zeros((n,), bool)
+        for i in range(n):
+            if not valid[i]:
+                tfms[i] = tfm_invs[i] = np.asarray(
+                    [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+                continue
+            tfm, tfm_inv = warp_and_crop_transforms(
+                landms[i].astype(np.float64), self.reference_5pts)
+            tfms[i], tfm_invs[i] = tfm, tfm_inv
+            fw = boxes[i][2] - boxes[i][0]
+            fh = boxes[i][3] - boxes[i][1]
+            small[i] = min(fh, fw) < 100  # face_enhancement.py:153
+        return tfms, tfm_invs, small
+
+    def process_batch(self, frames_rgb: np.ndarray,
+                      ori_frames: Optional[np.ndarray] = None,
+                      face_enhance: bool = True,
+                      possion_blending: bool = False,
+                      bboxes: Optional[np.ndarray] = None) -> np.ndarray:
+        """Batched FaceEnhancement.process over a stack of frames.
+
+        frames_rgb: [N, H, W, 3] uint8/float. ori_frames: the paste base
+        (defaults to frames; the reference passes the 2x original frame in
+        Step 6, inference.py:317-319). bboxes: [N, 4] (y1, y2, x1, x2)
+        restricting the possion-blend mask (face_enhancement.py:181-184).
+
+        Returns [N, H', W', 3] uint8 — H' = sr_scale*H when ``use_sr``.
+
+        Deviation from the reference: one (best) face per frame instead of
+        the all-faces loop — the pipeline only ever processes single-face
+        talking-head frames.
+        """
+        n = len(frames_rgb)
+        x = frames_rgb.astype(np.float32)
+
+        if self.use_sr:
+            # SR the full frame, then run detection on the bilinear-upscaled
+            # frame (face_enhancement.py:103-106)
+            sh = (x.shape[1] * self.sr_scale, x.shape[2] * self.sr_scale)
+            img_sr = self._chunked(
+                lambda c: self._sr(self.models["srmodel"], jnp.asarray(c)), x)
+            x = self._chunked(
+                lambda c: resize_bilinear(jnp.asarray(c), sh), x)
+        else:
+            img_sr = None
+
+        boxes_l, landms_l, valid_l = [], [], []
+        dk = min(max(self.chunk, 4), n)
+        for i in range(0, n, dk):
+            c = x[i : i + dk]
+            pad = dk - len(c)
+            if pad:
+                c = np.concatenate([c, np.repeat(c[-1:], pad, 0)])
+            b, l, v = self._detect(self.models["retinaface"], jnp.asarray(c))
+            boxes_l.append(np.asarray(b)[: dk - pad])
+            landms_l.append(np.asarray(l)[: dk - pad])
+            valid_l.append(np.asarray(v)[: dk - pad])
+        boxes = np.concatenate(boxes_l)
+        landms = np.concatenate(landms_l)
+        valid = np.concatenate(valid_l)
+
+        tfms, tfm_invs, small = self._transforms(landms, boxes, valid)
+        ori = x if ori_frames is None else ori_frames.astype(np.float32)
+
+        out = np.zeros(
+            (n, *(img_sr.shape[1:3] if self.use_sr else ori.shape[1:3]), 3),
+            np.uint8,
+        )
+        k = min(self.chunk, n)
+        for i in range(0, n, k):
+            sl = slice(i, min(i + k, n))
+            pad = k - (sl.stop - sl.start)
+            ix = lambda a: np.concatenate(
+                [a[sl], np.repeat(a[sl.stop - 1 : sl.stop], pad, 0)]
+            ) if pad else a[sl]
+            fc = jnp.asarray(ix(x))
+            ef, tmp_mask, ms512 = self._faces_and_masks(
+                self.models["facegan"], self.models["parsenet"], fc,
+                jnp.asarray(ix(tfms)), jnp.asarray(ix(small)),
+                bool(face_enhance),
+            )
+            tmp_img, full_mask, mask_sharp_w = self._paste(
+                ef, tmp_mask, ms512, jnp.asarray(ix(tfm_invs)), fc
+            )
+            v = jnp.asarray(ix(valid))
+            if self.use_sr:
+                res = self._composite_sr(
+                    jnp.asarray(ix(np.asarray(img_sr))), tmp_img, full_mask, v
+                )
+            elif possion_blending:
+                blend_mask = mask_sharp_w
+                if bboxes is not None:
+                    bb = ix(np.asarray(bboxes))
+                    mb = np.zeros((k, *ori.shape[1:3], 1), np.float32)
+                    for j in range(k):
+                        y1, y2, x1, x2 = [int(t) for t in bb[j]]
+                        mb[j, y1 : max(y2 - 5, y1), x1:x2] = 1.0
+                    blend_mask = mask_sharp_w * jnp.asarray(mb)
+                res = self._composite_laplacian(
+                    jnp.asarray(ix(ori)), tmp_img, blend_mask, v
+                )
+            else:
+                res = self._composite_default(
+                    jnp.asarray(ix(ori)), tmp_img, full_mask, mask_sharp_w, v
+                )
+            out[sl] = np.asarray(res, np.float32)[: sl.stop - sl.start].astype(np.uint8)
+        return out
+
+    def _chunked(self, fn, x: np.ndarray) -> np.ndarray:
+        """Apply a device program over fixed-size chunks with tail padding."""
+        n, k = len(x), min(self.chunk, len(x))
+        outs = []
+        for i in range(0, n, k):
+            c = x[i : i + k]
+            pad = k - len(c)
+            if pad:
+                c = np.concatenate([c, np.repeat(c[-1:], pad, 0)])
+            outs.append(np.asarray(fn(c))[: k - pad])
+        return np.concatenate(outs)
 
     def __call__(self, frame_rgb: np.ndarray, face_enhance: bool = True,
                  laplacian_blend: bool = False,
                  bbox=None) -> np.ndarray:
-        """Enhance the face in one frame (face_enhancement.py:92-193).
-
-        frame_rgb: [H, W, 3] uint8. Returns the composited frame (uint8).
-        """
-        h, w = frame_rgb.shape[:2]
-        x = jnp.asarray(frame_rgb[None].astype(np.float32))
-        boxes, landms, valid = self._detect(self.models["retinaface"], x)
-        if not bool(np.asarray(valid)[0]):
-            return frame_rgb
-
-        facial5 = np.asarray(landms)[0]
-        tfm, tfm_inv = warp_and_crop_transforms(facial5, self.reference_5pts)
-
-        grid = affine_sample_grid(
-            np.vstack([tfm, [0, 0, 1]])[:2], (self.in_size, self.in_size), (h, w)
-        )
-        of = grid_sample_bilinear(x, jnp.asarray(grid)[None])  # [1,S,S,3]
-
-        ef = self._enhance(self.models["facegan"], of) if face_enhance else of
-
-        # parse mask at 512 then postprocess (border zero + double blur)
-        from s2v_tpu.ops.image import resize_bilinear
-        from s2v_tpu.pipeline.utils import mask_postprocess
-
-        ef512 = resize_bilinear(ef, (512, 512))
-        mask_sharp = self._parse(self.models["parsenet"], ef512) / 255.0
-        tmp_mask = mask_postprocess(mask_sharp, thres=26)
-        tmp_mask = resize_bilinear(tmp_mask[..., None], (self.in_size, self.in_size))
-
-        # inverse warp enhanced face + masks back to frame coords
-        inv_grid = jnp.asarray(
-            affine_sample_grid(tfm_inv, (h, w), (self.in_size, self.in_size))
-        )[None]
-        tmp_img = grid_sample_bilinear(ef, inv_grid)[0]
-        full_mask = grid_sample_bilinear(tmp_mask, inv_grid)[0]
-        ms512 = resize_bilinear(mask_sharp[..., None], (self.in_size, self.in_size))
-        mask_sharp_w = grid_sample_bilinear(ms512, inv_grid)[0]
-        mask_sharp_w = gaussian_blur(mask_sharp_w[None], 3, 1.0)[0]
-
-        ori = x[0]
-        if laplacian_blend:
-            m = full_mask
-            if bbox is not None:
-                y1, y2, x1, x2 = bbox
-                mb = np.zeros((h, w, 1), np.float32)
-                mb[y1 : max(y2 - 5, y1) , x1:x2] = 1.0
-                m = mask_sharp_w * jnp.asarray(mb)
-            full_img5 = resize_bilinear(tmp_img[None], (512, 512))
-            ori5 = resize_bilinear(ori[None], (512, 512))
-            m5 = resize_bilinear(m[None], (512, 512))
-            blended = laplacian_pyramid_blend(full_img5, ori5, m5, num_levels=6)
-            out = resize_bilinear(jnp.clip(blended, 0, 255), (h, w))[0]
-        else:
-            img = ori * (1 - full_mask) + tmp_img * full_mask
-            out = ori * (1 - mask_sharp_w) + img * mask_sharp_w
-        return np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+        """Single-frame convenience wrapper around process_batch."""
+        return self.process_batch(
+            frame_rgb[None], face_enhance=face_enhance,
+            possion_blending=laplacian_blend,
+            bboxes=None if bbox is None else np.asarray(bbox)[None],
+        )[0]

@@ -77,7 +77,11 @@ class PipelineModels:
     lm3d: Optional[np.ndarray] = None  # [5, 3] standard landmarks
     expression: Optional[np.ndarray] = None  # [64] template coeffs
     ganimation: Optional[Dict] = None  # SplitGenerator variables (--up_face)
-    # hooks for the restoration stack (GPEN / GFPGAN); identity by default
+    # batched hooks for the restoration stack (GPEN / GFPGAN); None disables:
+    # ref_enhancer(frames [N,256,256,3] u8) -> u8            (Step 5, GPEN-512)
+    # mouth_restorer(frames [B,H,W,3] f32, boxes [B,4] x1y1x2y2) -> f32
+    # final_enhancer(frames [B,H,W,3] f32, boxes [B,4]) -> [B,2H,2W,3] u8
+    # up_face_editor(faces01 [B,384,384,3] f32) -> f32       (GANimation)
     ref_enhancer: Optional[Callable] = None
     final_enhancer: Optional[Callable] = None
     mouth_restorer: Optional[Callable] = None
@@ -89,6 +93,12 @@ class LipSyncPipeline:
         self.cfg = cfg
         self.models = models
         self._jits: Dict[str, Callable] = {}
+        # compute dtype for the generator-stack programs (DNet/ENet): bf16
+        # runs the MXU at full rate; params stay f32 and norm statistics
+        # accumulate in f32 (ops/norms.py). Detection/regression nets
+        # (S3FD/FAN/ReconNet) stay f32 — box/coefficient precision matters
+        # and they are a small share of the FLOPs.
+        self._dt = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
 
     def _require(self, *names: str):
         missing = [n for n in names if getattr(self.models, n) is None]
@@ -203,10 +213,13 @@ class LipSyncPipeline:
         ox1 = clx + lx
         ox2 = min(clx + rx, w)
         cropped = frames_rgb[:, cly:cry, clx:crx][:, ly:ry, lx:rx]
+        if "ffhq_resize" not in self._jits:
+            self._jits["ffhq_resize"] = jax.jit(
+                lambda x: jnp.clip(resize_bilinear(x, (256, 256)), 0, 255))
         frames_256 = np.asarray(
-            resize_bilinear(jnp.asarray(cropped.astype(np.float32)), (256, 256))
+            self._jits["ffhq_resize"](jnp.asarray(cropped.astype(np.float32)))
         )
-        return np.clip(frames_256, 0, 255).astype(np.uint8), (oy1, oy2, ox1, ox2)
+        return frames_256.astype(np.uint8), (oy1, oy2, ox1, ox2)
 
     # ------------------------------------------------------------------
     # Step 2: 3DMM coefficients
@@ -268,29 +281,42 @@ class LipSyncPipeline:
         self._require("dnet", "expression")
         n = len(frames_256)
         expression = self.models.expression
-        sem = jnp.asarray(semantic)
 
-        src_idx = 0 if one_shot else None
-        ratio = find_crop_norm_ratio(
-            sem[src_idx : src_idx + 1] if one_shot else sem[0:1], sem
-        )
-        # per-frame ratio (facing.py:183 recomputes per frame from its own
-        # source coeff; non-one-shot source == frame itself)
-        if not one_shot:
-            ratios = []
-            for i in range(n):
-                ratios.append(find_crop_norm_ratio(sem[i : i + 1], sem))
-            ratio = jnp.stack(ratios).reshape(-1)
+        if "stab_coeffs" not in self._jits:
+            @functools.partial(jax.jit, static_argnums=(2,))
+            def stab_coeffs(sem, expr, one_shot_):
+                # per-frame crop-norm ratio (facing.py:183): the reference
+                # recomputes find_crop_norm_ratio per frame with the frame's
+                # own coeff as source — batched here as one [N, N] argmin
+                # instead of N eager device calls
+                if one_shot_:
+                    ratio = find_crop_norm_ratio(sem[0:1], sem)
+                else:
+                    alpha = 0.3
+                    exp = sem[:, 80:144]
+                    ang = sem[:, 224:227]
+                    ed = jnp.mean(
+                        jnp.abs(exp[None, :, :] - exp[:, None, :]), -1)
+                    ad = jnp.mean(
+                        jnp.abs(ang[None, :, :] - ang[:, None, :]), -1)
+                    index = jnp.argmin(alpha * ed + (1 - alpha) * ad, axis=1)
+                    ratio = sem[:, -3] / sem[index, -3]
+                coeff = transform_semantic(sem, ratio)  # [N, 73, 26]
+                return coeff.at[:, :64, :].set(expr[None, :, None])
 
-        coeff = transform_semantic(sem, ratio)  # [N, 73, 26]
-        coeff = coeff.at[:, :64, :].set(
-            jnp.asarray(expression, jnp.float32)[None, :, None]
+            self._jits["stab_coeffs"] = stab_coeffs
+        coeff = self._jits["stab_coeffs"](
+            jnp.asarray(semantic),
+            jnp.asarray(expression, jnp.float32), bool(one_shot),
         )
 
         if "dnet" not in self._jits:
             model = DNet()
+            dt = self._dt
             self._jits["dnet"] = jax.jit(
-                lambda v, img, c: model.apply(v, img, c)["fake_image"]
+                lambda v, img, c: model.apply(
+                    v, img.astype(dt), c.astype(dt)
+                )["fake_image"].astype(jnp.float32)
             )
         run = self._jits["dnet"]
 
@@ -322,11 +348,14 @@ class LipSyncPipeline:
     def _enet_fn(self):
         if "enet" not in self._jits:
             model = ENet()
+            dt = self._dt
 
             @jax.jit
             def run(variables, mel, face, ref):
-                pred, low = model.apply(variables, mel, face, ref)
-                return jnp.clip(pred, 0.0, 1.0)
+                pred, low = model.apply(
+                    variables, mel.astype(dt), face.astype(dt), ref.astype(dt)
+                )
+                return jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
 
             self._jits["enet"] = run
         return self._jits["enet"]
@@ -375,26 +404,38 @@ class LipSyncPipeline:
                 inv, (image_size, image_size), (image_size, image_size)
             )
 
-        stab_dev = jnp.asarray(stabilized.astype(np.float32))
-        crops = warp_by_grid(stab_dev, jnp.asarray(quad_grids))  # [N,256,256,3]
+        if "ref_faces" not in self._jits:
+            @jax.jit
+            def ref_faces(stab, quad_grids, pgrids, region):
+                crops = warp_by_grid(stab, quad_grids)  # [N,256,256,3]
+                region_256 = resize_bilinear(region, (256, 256))
+                projected = warp_by_grid(crops, pgrids)
+                mask = warp_by_grid(
+                    jnp.ones(crops.shape[:3] + (1,), jnp.float32), pgrids)
+                pasted = projected * mask + region_256 * (1 - mask)
+                return jnp.clip(
+                    resize_bilinear(pasted, region.shape[1:3]), 0, 255)
+
+            @jax.jit
+            def box_crops(ff, boxes):
+                return jnp.clip(
+                    crop_resize_boxes(ff, boxes, (img_size, img_size)), 0, 255)
+
+            self._jits["ref_faces"] = ref_faces
+            self._jits["ref_box_crops"] = box_crops
 
         region = full_frames[:n, oy1:oy2, ox1:ox2].astype(np.float32)
-        region_256 = resize_bilinear(jnp.asarray(region), (256, 256))
-        projected = warp_by_grid(crops, jnp.asarray(pgrids))
-        mask = warp_by_grid(
-            jnp.ones((n, image_size, image_size, 1), jnp.float32),
-            jnp.asarray(pgrids),
-        )
-        pasted = projected * mask + region_256 * (1 - mask)
-        back = np.asarray(
-            jnp.clip(resize_bilinear(pasted, (oy2 - oy1, ox2 - ox1)), 0, 255)
-        )
+        back = np.asarray(self._jits["ref_faces"](
+            jnp.asarray(stabilized.astype(np.float32)),
+            jnp.asarray(quad_grids), jnp.asarray(pgrids),
+            jnp.asarray(region),
+        ))
 
         ff = full_frames[:n].astype(np.float32).copy()
         ff[:, oy1:oy2, ox1:ox2] = back
-        refs = crop_resize_boxes(jnp.asarray(ff), boxes[:, [0, 1, 2, 3]],
-                                 (img_size, img_size))
-        return np.asarray(jnp.clip(refs, 0, 255))
+        return np.asarray(self._jits["ref_box_crops"](
+            jnp.asarray(ff), jnp.asarray(boxes[:, [0, 1, 2, 3]].astype(np.float32))
+        ))
 
     def synthesize(
         self,
@@ -449,17 +490,25 @@ class LipSyncPipeline:
         run = self._enet_fn()
         batch = cfg.infer.lnet_batch_size
 
-        from s2v_tpu.ops.warp import crop_resize_boxes
+        from s2v_tpu.ops.warp import crop_resize_boxes, paste_resize_boxes
 
-        @jax.jit
-        def prep(frames_b, boxes_b, refs_b):
-            # batched box crops + lower-half mask + concat as one device
-            # program (inference.py:383-399 datagen equivalent)
-            ofaces = crop_resize_boxes(frames_b, boxes_b,
-                                       (img_size, img_size)) / 255.0
-            masked = ofaces.at[:, img_size // 2 :].set(0.0)
-            ref_b = refs_b / 255.0
-            return ofaces, jnp.concatenate([masked, ref_b], axis=-1), ref_b
+        if "prep" not in self._jits:
+            @jax.jit
+            def prep(frames_b, boxes_b, refs_b):
+                # batched box crops + lower-half mask + concat as one device
+                # program (inference.py:383-399 datagen equivalent)
+                ofaces = crop_resize_boxes(frames_b, boxes_b,
+                                           (img_size, img_size)) / 255.0
+                masked = ofaces.at[:, img_size // 2 :].set(0.0)
+                ref_b = refs_b / 255.0
+                return ofaces, jnp.concatenate([masked, ref_b], axis=-1), ref_b
+
+            self._jits["prep"] = prep
+            # the batched resize + paste-back (the reference's per-frame
+            # cv2.resize + slice assignment, inference.py:316-330)
+            self._jits["paste"] = jax.jit(
+                lambda fr, pr, bx: paste_resize_boxes(fr, pr, bx))
+        prep = self._jits["prep"]
 
         def assemble(start):
             idxs = [frame_index(i)
@@ -476,8 +525,6 @@ class LipSyncPipeline:
             )  # async: JAX dispatch returns immediately, device runs ahead
             return idxs, face, ofaces, pred
 
-        from s2v_tpu.ops.warp import paste_resize_boxes
-
         def drain(idxs, face_np, orig, pred):
             # upper-face edit + masked composite (inference.py:269-286):
             # GANimation only takes effect through the --without_rl1 path
@@ -492,25 +539,38 @@ class LipSyncPipeline:
                 mask = (face_np[..., :3] == 0).astype(np.float32)
                 pred = pred * mask + cur * (1.0 - mask)
 
-            # batched resize + paste as ONE device program (the reference's
-            # per-frame cv2.resize + slice assignment, inference.py:316-330)
             bsel = boxes[idxs]
-            pasted = np.asarray(paste_resize_boxes(
+            pasted = np.asarray(self._jits["paste"](
                 jnp.asarray(full_frames_t[idxs].astype(np.float32)),
                 jnp.asarray(pred)[: len(idxs)] * 255.0,
-                jnp.asarray(bsel),
+                jnp.asarray(bsel.astype(np.float32)),
             ))  # sync point for THIS batch only
 
-            outs = []
-            for k in range(len(idxs)):
-                x1, y1, x2, y2 = bsel[k]
-                ff = pasted[k]
-                if self.models.mouth_restorer is not None:
-                    ff = self.models.mouth_restorer(ff, (y1, y2, x1, x2))
-                if self.models.final_enhancer is not None:
-                    ff = self.models.final_enhancer(ff)
-                outs.append(np.clip(ff, 0, 255).astype(np.uint8))
-            return outs
+            # batched restoration tail: GFPGAN mouth restore + Laplacian
+            # blend (inference.py:299-312), then GPEN-2048 + RealESRNet x2
+            # full-frame enhancement (inference.py:317-330) — both hooks
+            # take the whole [B] chunk; no per-frame device calls remain.
+            if self.models.mouth_restorer is not None:
+                pasted = self.models.mouth_restorer(pasted, bsel)
+            if self.models.final_enhancer is not None:
+                final = self.models.final_enhancer(pasted, bsel)
+                if cfg.infer.cropped_image:
+                    # --cropped_image (inference.py:316-325): downscale the
+                    # enhanced frame back to 1x and paste only the face box
+                    # into the untouched original frame
+                    if "crop_down" not in self._jits:
+                        hw = pasted.shape[1:3]
+                        self._jits["crop_down"] = jax.jit(
+                            lambda x: resize_bilinear(x, hw))
+                    pp = np.asarray(self._jits["crop_down"](
+                        jnp.asarray(final.astype(np.float32))))
+                    ff = full_frames_t[idxs].astype(np.float32).copy()
+                    for k in range(len(idxs)):
+                        x1, y1, x2, y2 = bsel[k]
+                        ff[k, y1:y2, x1:x2] = pp[k, y1:y2, x1:x2]
+                    return list(np.clip(ff, 0, 255).astype(np.uint8))
+                return list(np.asarray(final).astype(np.uint8))
+            return list(np.clip(pasted, 0, 255).astype(np.uint8))
 
         # double-buffered: keep up to `inflight` device batches queued so
         # Step-6 compute overlaps the host-side paste-back (the reference
@@ -543,15 +603,49 @@ class LipSyncPipeline:
             cx2 = frames.shape[2] if cx2 == -1 else cx2
             frames = frames[:, cy1:cy2, cx1:cx2]
 
-        lm = self.extract_landmarks(frames)
-        frames_256, coordinates = self.ffhq_crop(frames, lm[0])
-        lm_256 = self.extract_landmarks(frames_256)
-        semantic = self.extract_coeffs(frames_256, lm_256)
-        stabilized = self.stabilize(frames_256, semantic,
-                                    one_shot=cfg.infer.one_shot)
+        # per-video artifact cache for Steps 1-3 and 5 (the reference's
+        # temp/<base>_{landmarks.txt,coeffs.npy,stablized.npy,enhanced5.npy}
+        # files, facing.py:89-198) — a second run of the same clip skips
+        # straight to Step 6; --re_preprocess recomputes.
+        from s2v_tpu.utils.cache import ArtifactCache
+
+        base = os.path.splitext(os.path.basename(face_path))[0]
+        cache = ArtifactCache(cfg.infer.tmp_dir)
+        refresh = cfg.infer.re_preprocess
+        crop_p = {"crop": cfg.infer.crop}
+
+        lm = cache.get_or_compute(
+            base, "landmarks", lambda: self.extract_landmarks(frames),
+            params=crop_p, refresh=refresh,
+        )
+        step1 = cache.get_or_compute(
+            base, "ffhq",
+            lambda: dict(zip(("frames", "coords"),
+                             self.ffhq_crop(frames, lm[0]))),
+            params=crop_p, refresh=refresh,
+        )
+        frames_256 = step1["frames"]
+        coordinates = tuple(int(v) for v in np.asarray(step1["coords"]))
+        semantic = cache.get_or_compute(
+            base, "coeffs",
+            lambda: self.extract_coeffs(
+                frames_256, self.extract_landmarks(frames_256)),
+            params=crop_p, refresh=refresh,
+        )
+        stabilized = cache.get_or_compute(
+            base, "stabilized",
+            lambda: self.stabilize(frames_256, semantic,
+                                   one_shot=cfg.infer.one_shot),
+            params={**crop_p, "one_shot": cfg.infer.one_shot,
+                    "exp_img": cfg.infer.exp_img},
+            refresh=refresh,
+        )
         if self.models.ref_enhancer is not None:
-            stabilized = np.stack(
-                [self.models.ref_enhancer(f) for f in stabilized]
+            # Step 5 (inference.py:234-238), batched over the whole clip
+            stabilized = cache.get_or_compute(
+                base, "enhanced5",
+                lambda: self.models.ref_enhancer(stabilized),
+                params=crop_p, refresh=refresh,
             )
 
         wav = load_wav(audio_path, cfg.audio.sample_rate)

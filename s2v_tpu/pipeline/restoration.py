@@ -9,6 +9,13 @@ GFPGANv1Clean, paste back with an affine inverse warp.
 ``make_mouth_restorer`` packages the reference's full Step-6 per-frame tail
 (inference.py:299-312): GFPGAN restore -> ParseNet mouth mask on the face
 box -> 512^2 10-level Laplacian blend of restored over pasted.
+
+TPU-first: every stage is batched over the frame chunk — detection, the
+affine warps (device-built grids, ops/warp.affine_warp), GFPGAN, ParseNet,
+the box crop/paste (ops/warp.crop_resize_boxes / paste_resize_boxes) and the
+Laplacian blend all run as [B]-shaped jitted programs; the host solves only
+the per-frame 2x3 umeyama similarity. The reference loops frames on host
+with one GPU call per frame (inference.py:292-312).
 """
 
 from __future__ import annotations
@@ -21,11 +28,12 @@ import jax
 import jax.numpy as jnp
 
 from s2v_tpu.ops.image import resize_bilinear
-from s2v_tpu.ops.warp import grid_sample_bilinear
-from s2v_tpu.pipeline.enhance import (
-    affine_sample_grid,
-    umeyama_with_scale,
+from s2v_tpu.ops.warp import (
+    affine_warp,
+    crop_resize_boxes,
+    paste_resize_boxes,
 )
+from s2v_tpu.pipeline.enhance import umeyama_with_scale
 from s2v_tpu.pipeline.utils import laplacian_pyramid_blend
 
 # facexlib FaceRestoreHelper 512^2 face template (utils.py/face_restoration_helper)
@@ -39,19 +47,25 @@ class GFPGANRestorer:
     """GFPGANer equivalent. models: {'retinaface', 'gfpgan'} flax vars."""
 
     def __init__(self, models: Dict, threshold: float = 0.9,
-                 arch: str = "clean"):
+                 arch: str = "clean", chunk: int = 8, size: int = 512,
+                 gfpgan_kwargs: Optional[Dict] = None,
+                 dtype: str = "bfloat16"):
         from s2v_tpu.models.gfpgan import GFPGANv1, GFPGANv1Clean
         from s2v_tpu.models.retinaface import (
             RETINA_MEAN, RetinaFace, detect_faces,
         )
 
         self.models = models
+        self.chunk = chunk
+        self.size = size  # reference is fixed 512 (gfpgan/utils.py:76-82)
+        self.template = FACEXLIB_TEMPLATE_512 * (size / 512.0)
+        kw = dict(gfpgan_kwargs or {})
         retina = RetinaFace()
         if arch == "clean":
-            gfpgan = GFPGANv1Clean()
+            gfpgan = GFPGANv1Clean(out_size=size, **kw)
         else:  # 'original'/'bilinear': utils.py:63-74 GFPGANv1.pth config
             gfpgan = GFPGANv1(input_is_latent=True, different_w=True,
-                              sft_half=True, channel_multiplier=1)
+                              sft_half=True, channel_multiplier=1, **kw)
 
         @jax.jit
         def detect(variables, frames_rgb):
@@ -59,48 +73,85 @@ class GFPGANRestorer:
             return detect_faces(retina.apply(variables, bgr),
                                 frames_rgb.shape[1:3], threshold)
 
+        s = size
+        dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
         @jax.jit
-        def restore(variables, faces_rgb):  # [B,512,512,3] 0..255
-            x = faces_rgb / 255.0
-            x = (x - 0.5) / 0.5
+        def restore_paste(variables, frames, tfms, tfm_invs, valid):
+            """Align to the template crop, GFPGAN (bf16 compute),
+            inverse-paste (utils.py:97-143) — one program per frame chunk."""
+            face = affine_warp(frames, tfms, (s, s))
+            x = ((face / 255.0 - 0.5) / 0.5).astype(dt)
             out = gfpgan.apply(variables, x, deterministic=True)
             if isinstance(out, tuple):
                 out = out[0]
-            return jnp.clip((out + 1.0) / 2.0, 0.0, 1.0) * 255.0
+            restored = jnp.clip(
+                (out.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0) * 255.0
+            hw = frames.shape[1:3]
+            pasted = affine_warp(restored, tfm_invs, hw)
+            mask = affine_warp(
+                jnp.ones((frames.shape[0], s, s, 1), jnp.float32),
+                tfm_invs, hw,
+            )
+            out = pasted * mask + frames * (1.0 - mask)
+            out = jnp.where(valid[:, None, None, None], out, frames)
+            return jnp.clip(out, 0.0, 255.0)
 
         self._detect = detect
-        self._restore = restore
+        self._restore_paste = restore_paste
+
+    def _transforms(self, landms: np.ndarray, valid: np.ndarray):
+        n = len(landms)
+        tfms = np.zeros((n, 2, 3), np.float32)
+        tfm_invs = np.zeros((n, 2, 3), np.float32)
+        for i in range(n):
+            if not valid[i]:
+                tfms[i] = tfm_invs[i] = np.asarray(
+                    [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)
+                continue
+            params, _ = umeyama_with_scale(
+                landms[i].astype(np.float64),
+                self.template.astype(np.float64), True)
+            tfms[i] = params[:2]
+            tfm_invs[i] = np.linalg.inv(
+                np.vstack([params[:2], [0, 0, 1]]))[:2]
+        return tfms, tfm_invs
+
+    def enhance_batch(self, frames_rgb: np.ndarray) -> np.ndarray:
+        """[N,H,W,3] uint8/float -> restored uint8 frames, batched."""
+        n = len(frames_rgb)
+        x = frames_rgb.astype(np.float32)
+        k = min(self.chunk, n)
+        out = np.zeros((n, *x.shape[1:]), np.uint8)
+        for i in range(0, n, k):
+            sl = slice(i, min(i + k, n))
+            c = x[sl]
+            pad = k - len(c)
+            if pad:
+                c = np.concatenate([c, np.repeat(c[-1:], pad, 0)])
+            cj = jnp.asarray(c)
+            boxes, landms, valid = self._detect(self.models["retinaface"], cj)
+            tfms, tfm_invs = self._transforms(
+                np.asarray(landms), np.asarray(valid))
+            res = self._restore_paste(
+                self.models["gfpgan"], cj, jnp.asarray(tfms),
+                jnp.asarray(tfm_invs), valid,
+            )
+            out[sl] = np.asarray(res)[: k - pad].astype(np.uint8)
+        return out
 
     def enhance(self, frame_rgb: np.ndarray) -> np.ndarray:
-        """gfpgan/utils.py:97-143 with paste_back. [H,W,3] uint8 -> uint8."""
-        h, w = frame_rgb.shape[:2]
-        x = jnp.asarray(frame_rgb[None].astype(np.float32))
-        boxes, landms, valid = self._detect(self.models["retinaface"], x)
-        if not bool(np.asarray(valid)[0]):
-            return frame_rgb
-        facial5 = np.asarray(landms)[0].astype(np.float64)
-
-        params, _ = umeyama_with_scale(facial5, FACEXLIB_TEMPLATE_512, True)
-        tfm = params[:2]
-        grid = affine_sample_grid(tfm, (512, 512), (h, w))
-        face = grid_sample_bilinear(x, jnp.asarray(grid)[None])
-        restored = self._restore(self.models["gfpgan"], face)
-
-        inv = np.linalg.inv(np.vstack([tfm, [0, 0, 1]]))[:2]
-        inv_grid = jnp.asarray(affine_sample_grid(inv, (h, w), (512, 512)))[None]
-        pasted = grid_sample_bilinear(restored, inv_grid)[0]
-        mask = grid_sample_bilinear(
-            jnp.ones((1, 512, 512, 1), jnp.float32), inv_grid
-        )[0]
-        out = pasted * mask + x[0] * (1.0 - mask)
-        return np.clip(np.asarray(out), 0, 255).astype(np.uint8)
+        """Single-frame wrapper (gfpgan/utils.py:97-143 with paste_back)."""
+        return self.enhance_batch(frame_rgb[None])[0]
 
 
-def make_mouth_restorer(models: Dict) -> Optional[Callable]:
-    """The reference's Step-6 per-frame tail (inference.py:299-312).
+def make_mouth_restorer(models: Dict, chunk: int = 8) -> Optional[Callable]:
+    """The reference's Step-6 per-frame tail (inference.py:299-312), batched.
 
     models needs 'retinaface' + 'gfpgan' + 'parsenet'. Returns
-    hook(frame_rgb_float, (y1, y2, x1, x2)) -> frame_rgb_float.
+    hook(frames_rgb [B,H,W,3] float, boxes [B,4] (x1,y1,x2,y2)) -> [B,H,W,3]
+    float — GFPGAN restore, ParseNet mouth mask on the face box, 10-level
+    Laplacian blend at 512^2.
     """
     if not all(k in models and models[k] is not None
                for k in ("retinaface", "gfpgan", "parsenet")):
@@ -108,37 +159,53 @@ def make_mouth_restorer(models: Dict) -> Optional[Callable]:
 
     from s2v_tpu.models.parsenet import MOUTH_COLORMAP, ParseNet, parse_mask
 
-    restorer = GFPGANRestorer(models, arch=models.get("gfpgan_arch", "clean"))
+    restorer = GFPGANRestorer(models, arch=models.get("gfpgan_arch", "clean"),
+                              chunk=chunk)
     parser = ParseNet()
 
     @jax.jit
-    def parse(variables, faces_rgb):  # [B,512,512,3] 0..255
-        xx = faces_rgb / 255.0 * 2.0 - 1.0
-        logits, _ = parser.apply(variables, xx)
-        return parse_mask(logits, MOUTH_COLORMAP)
+    def mouth_blend(variables, restored, ff, boxes):
+        """restored/ff [B,H,W,3] 0..255; boxes [B,4] (x1,y1,x2,y2).
 
-    def hook(ff: np.ndarray, box) -> np.ndarray:
-        y1, y2, x1, x2 = box
-        h, w = ff.shape[:2]
-        restored = restorer.enhance(np.clip(ff, 0, 255).astype(np.uint8))
-        restored = restored.astype(np.float32)
+        ParseNet mouth mask from the restored face box (inference.py:304-308)
+        pasted into a zero canvas, then the 10-level 512^2 Laplacian blend of
+        restored over the original (inference.py:310-312).
+        """
+        b, h, w, _ = ff.shape
+        crop512 = crop_resize_boxes(restored, boxes, (512, 512))
+        logits, _ = parser.apply(variables, crop512 / 255.0 * 2.0 - 1.0)
+        mm = parse_mask(logits, MOUTH_COLORMAP)[..., None]  # [B,512,512,1]
+        canvas = jnp.zeros((b, h, w, 1), jnp.float32)
+        mouse_mask = paste_resize_boxes(canvas, mm / 255.0, boxes)
 
-        # mouth mask from the restored face box (inference.py:304-308)
-        crop = restored[y1:y2, x1:x2]
-        crop512 = resize_bilinear(jnp.asarray(crop[None]), (512, 512))
-        mm = parse(models["parsenet"], crop512)  # [1,512,512] in {0,255}
-        mm_box = np.asarray(
-            resize_bilinear(mm[..., None], (y2 - y1, x2 - x1))
-        )[0, :, :, 0] / 255.0
-        mouse_mask = np.zeros((h, w), np.float32)
-        mouse_mask[y1:y2, x1:x2] = mm_box
-
-        r512 = resize_bilinear(jnp.asarray(restored[None]), (512, 512))
-        f512 = resize_bilinear(jnp.asarray(ff[None].astype(np.float32)), (512, 512))
-        m512 = resize_bilinear(jnp.asarray(mouse_mask[None, :, :, None]), (512, 512))
+        r512 = resize_bilinear(restored, (512, 512))
+        f512 = resize_bilinear(ff, (512, 512))
+        m512 = resize_bilinear(mouse_mask, (512, 512))
         blended = laplacian_pyramid_blend(r512, f512, m512, num_levels=10)
-        out = resize_bilinear(jnp.clip(blended, 0, 255), (h, w))[0]
-        return np.asarray(out)
+        return resize_bilinear(jnp.clip(blended, 0.0, 255.0), (h, w))
+
+    def hook(frames: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+        """frames [B,H,W,3] float 0..255; boxes [B,4] (x1,y1,x2,y2) int."""
+        restored = restorer.enhance_batch(
+            np.clip(frames, 0, 255).astype(np.uint8)
+        ).astype(np.float32)
+        n = len(frames)
+        k = min(chunk, n)
+        boxes = np.asarray(boxes, np.float32)
+        out = np.zeros_like(frames, dtype=np.float32)
+        for i in range(0, n, k):
+            sl = slice(i, min(i + k, n))
+            pad = k - (sl.stop - sl.start)
+            ix = lambda a: np.concatenate(
+                [a[sl], np.repeat(a[sl.stop - 1 : sl.stop], pad, 0)]
+            ) if pad else a[sl]
+            res = mouth_blend(
+                models["parsenet"], jnp.asarray(ix(restored)),
+                jnp.asarray(ix(frames.astype(np.float32))),
+                jnp.asarray(ix(boxes)),
+            )
+            out[sl] = np.asarray(res)[: sl.stop - sl.start]
+        return out
 
     return hook
 

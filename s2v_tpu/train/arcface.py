@@ -50,8 +50,13 @@ def make_arcface_trainer(
     weight_decay: float = 5e-4,
     margin_kind: str = "arcface",
     rng: Optional[jax.Array] = None,
+    sample_rate: float = 1.0,
 ):
-    """Returns (state, train_step) with state already device_put on the mesh."""
+    """Returns (state, train_step) with state already device_put on the mesh.
+
+    ``sample_rate < 1`` enables PartialFC negative-class sampling
+    (arcface_torch partial_fc.py:100-123; speed_benchmark.md rows "Partial
+    FC 0.1") — per-step random negatives keyed off the step counter."""
     model = IResNet(layers=layers, num_features=embedding_size)
     rng = jax.random.PRNGKey(0) if rng is None else rng
     k1, k2 = jax.random.split(rng)
@@ -79,10 +84,11 @@ def make_arcface_trainer(
 
     clf_loss = functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(MODEL_AXIS, None)), out_specs=P(),
-    )(lambda f, l, w: partial_fc_loss(f, l, w, margin_kind=margin_kind))
+        in_specs=(P(), P(), P(MODEL_AXIS, None), P()), out_specs=P(),
+    )(lambda f, l, w, key: partial_fc_loss(
+        f, l, w, margin_kind=margin_kind, sample_rate=sample_rate, rng=key))
 
-    def loss_fn(params, clf_weight, batch_stats, images, labels):
+    def loss_fn(params, clf_weight, batch_stats, images, labels, step):
         feats, updates = model.apply(
             {"params": params, "batch_stats": batch_stats},
             images, train=True, mutable=["batch_stats"],
@@ -90,13 +96,15 @@ def make_arcface_trainer(
         feats = feats * jax.lax.rsqrt(
             jnp.sum(feats * feats, axis=1, keepdims=True) + 1e-12
         )
-        loss = clf_loss(feats, labels, clf_weight)
+        loss = clf_loss(feats, labels, clf_weight,
+                        jax.random.fold_in(jax.random.PRNGKey(11), step))
         return loss, updates["batch_stats"]
 
     def train_step(state: ArcFaceState, images, labels):
         (loss, new_stats), (g_params, g_clf) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True
-        )(state.params, state.clf_weight, state.batch_stats, images, labels)
+        )(state.params, state.clf_weight, state.batch_stats, images, labels,
+          state.step)
         upd, opt_state = tx.update(g_params, state.opt_state, state.params)
         params = optax.apply_updates(state.params, upd)
         cupd, clf_opt_state = clf_tx.update(g_clf, state.clf_opt_state,

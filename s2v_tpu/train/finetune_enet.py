@@ -26,14 +26,38 @@ from s2v_tpu.train.losses import l1_loss, perceptual_stub
 from s2v_tpu.utils.config import TrainConfig
 
 
+def make_id_embed_fn(recon_variables: Dict) -> Callable:
+    """Identity embedding from the face3d coefficient regressor — the
+    reference's "ArcFaceLoss" capability (training.py:47-92: ReconNet coeffs
+    of the prediction, L2-compared; the reference code is WIP/broken — it
+    wraps the net in no_grad and compares against raw images. Here the term
+    is differentiable end-to-end). [B,384,384,3] in [0,1] -> [B,257]."""
+    from s2v_tpu.models.resnet import ReconNet
+    from s2v_tpu.ops.image import resize_bilinear
+
+    model = ReconNet()
+
+    def embed(pred01: jnp.ndarray) -> jnp.ndarray:
+        return model.apply(recon_variables, resize_bilinear(pred01, (224, 224)))
+
+    return embed
+
+
 def make_enet_finetune_step(
     variables: Dict,
     cfg: TrainConfig,
     mesh: Optional[Mesh] = None,
     id_embed_fn: Optional[Callable] = None,
+    vgg_variables: Optional[Dict] = None,
 ):
     """Returns (state, step_fn). Batches: dict(mel [B,80,16,1],
-    face [B,384,384,6], ref [B,384,384,3], target [B,384,384,3])."""
+    face [B,384,384,6], ref [B,384,384,3], target [B,384,384,3]).
+
+    The perceptual term uses the converted torchvision VGG16
+    (training.py:94-134) when ``vgg_variables`` is provided, otherwise the
+    self-contained Laplacian-pyramid stand-in. ``id_embed_fn`` supplies the
+    identity term (the reference's WIP "ArcFaceLoss", training.py:47-92 —
+    a 3DMM/embedding distance; see cli.make_id_embed_fn)."""
     model = ENet()
     batch_stats = variables.get("batch_stats", {})
 
@@ -54,7 +78,12 @@ def make_enet_finetune_step(
             batch["mel"], batch["face"], batch["ref"],
         )
         loss_l1 = l1_loss(pred, batch["target"])
-        loss_p = perceptual_stub(pred, batch["target"])
+        if vgg_variables is not None:
+            from s2v_tpu.models.vgg import vgg_perceptual_loss
+
+            loss_p = vgg_perceptual_loss(vgg_variables, pred, batch["target"])
+        else:
+            loss_p = perceptual_stub(pred, batch["target"])
         loss = cfg.l1_weight * loss_l1 + cfg.perceptual_weight * loss_p
         metrics = {"l1": loss_l1, "perceptual": loss_p}
         if id_embed_fn is not None:
@@ -95,11 +124,16 @@ def finetune(
     mesh: Optional[Mesh] = None,
     checkpoint_dir: Optional[str] = None,
     log_path: Optional[str] = None,
+    id_embed_fn: Optional[Callable] = None,
+    vgg_variables: Optional[Dict] = None,
 ):
     """The training.py epoch loop (training.py:436-471)."""
     from s2v_tpu.utils.diagnostics import ThroughputLogger
 
-    state, step_fn = make_enet_finetune_step(variables, cfg, mesh)
+    state, step_fn = make_enet_finetune_step(
+        variables, cfg, mesh, id_embed_fn=id_embed_fn,
+        vgg_variables=vgg_variables,
+    )
     logger = ThroughputLogger(log_path, every=10)
     ckptr = None
     if checkpoint_dir is not None:

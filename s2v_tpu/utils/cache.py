@@ -42,10 +42,12 @@ class ArtifactCache:
         out = fn()
         if self.enabled:
             os.makedirs(self.directory, exist_ok=True)
+            # uncompressed: frame stacks compress poorly and the reference's
+            # .npy caches are raw too (facing.py:130,195)
             if isinstance(out, dict):
-                np.savez_compressed(path, **{k: np.asarray(v) for k, v in out.items()})
+                np.savez(path, **{k: np.asarray(v) for k, v in out.items()})
             else:
-                np.savez_compressed(path, __single__=np.asarray(out))
+                np.savez(path, __single__=np.asarray(out))
         return out
 
     def invalidate(self, base_name: str, stage: Optional[str] = None):

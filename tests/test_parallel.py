@@ -9,7 +9,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from s2v_tpu.parallel.halo import gather_windows, sharded_coeff_windows, smooth_boxes
 from s2v_tpu.parallel.mesh import MODEL_AXIS, make_mesh, shard_frames
-from s2v_tpu.parallel.partial_fc import make_sharded_classifier
+from s2v_tpu.parallel.partial_fc import make_sharded_classifier, partial_fc_loss
 
 RNG = np.random.RandomState(3)
 
@@ -96,6 +96,80 @@ def test_partial_fc_gradients_match_unsharded():
     )
     np.testing.assert_allclose(np.asarray(gf), np.asarray(rgf), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw), np.asarray(rgw), rtol=1e-3, atol=1e-4)
+
+
+def test_partial_fc_sampling_rate_one_matches_full():
+    """sample_rate=1.0 with an rng is the exact unsampled loss (all classes
+    selected; sort restores identity order)."""
+    mesh = make_mesh(data_parallel=1, model_parallel=8)
+    b, e, c = 8, 16, 64
+    feats = RNG.randn(b, e).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    labels = RNG.randint(0, c, size=b).astype(np.int32)
+    weight = RNG.randn(c, e).astype(np.float32)
+
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    def run(rate):
+        f = shard_map(
+            lambda ft, lb, w: partial_fc_loss(
+                ft, lb, w, margin_kind="cosface", sample_rate=rate,
+                rng=jax.random.PRNGKey(0) if rate < 1 else None),
+            mesh=mesh, in_specs=(P(), P(), P(MODEL_AXIS, None)),
+            out_specs=P(),
+        )
+        w_sh = jax.device_put(jnp.asarray(weight),
+                              NamedSharding(mesh, P(MODEL_AXIS, None)))
+        return jax.jit(f)(jnp.asarray(feats), jnp.asarray(labels), w_sh)
+
+    full = float(run(1.0))
+    want = _reference_softmax_loss(feats, labels, weight, "cosface", 64.0, 0.5)
+    np.testing.assert_allclose(full, want, rtol=2e-4, atol=2e-4)
+
+
+def test_partial_fc_sampling_keeps_positives_and_sparsifies_grads():
+    """PartialFC 0.25 sampling (partial_fc.py:100-123 analogue): positive
+    classes always participate; weight gradients land only on sampled rows;
+    the loss stays close to the full-softmax loss (smaller denominator)."""
+    mesh = make_mesh(data_parallel=1, model_parallel=8)
+    b, e, c = 8, 16, 128  # 16 classes/shard, 4 sampled/shard
+    feats = RNG.randn(b, e).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    labels = RNG.randint(0, c, size=b).astype(np.int32)
+    weight = RNG.randn(c, e).astype(np.float32)
+
+    from jax.experimental.shard_map import shard_map
+
+    def loss(ft, lb, w, rate):
+        f = shard_map(
+            lambda ft, lb, w: partial_fc_loss(
+                ft, lb, w, margin_kind="cosface", sample_rate=rate,
+                rng=jax.random.PRNGKey(7)),
+            mesh=mesh, in_specs=(P(), P(), P(MODEL_AXIS, None)),
+            out_specs=P(),
+        )
+        return f(ft, lb, w)
+
+    w_sh = jax.device_put(jnp.asarray(weight),
+                          NamedSharding(mesh, P(MODEL_AXIS, None)))
+    sampled = float(jax.jit(lambda f, l, w: loss(f, l, w, 0.25))(
+        jnp.asarray(feats), jnp.asarray(labels), w_sh))
+    full = _reference_softmax_loss(feats, labels, weight, "cosface", 64.0, 0.5)
+    # same target logits, denominator over a subset of the negatives:
+    # strictly smaller log-sum-exp, still a positive CE at random init
+    assert sampled <= full + 1e-3
+    assert sampled > 0.0
+
+    gw = jax.jit(jax.grad(lambda f, l, w: loss(f, l, w, 0.25), argnums=2))(
+        jnp.asarray(feats), jnp.asarray(labels), w_sh)
+    gw = np.asarray(gw)
+    rows_nonzero = np.abs(gw).sum(axis=1) > 0
+    # at most num_sample rows per shard carry gradient
+    assert rows_nonzero.sum() <= 8 * 4
+    # every positive class row carries gradient
+    assert rows_nonzero[np.unique(labels)].all()
 
 
 def test_gather_windows_matches_reference_clipping():

@@ -140,3 +140,102 @@ def test_full_pipeline_runs(pipeline, tmp_path):
         vw.write(f)
     vw.close()
     assert os.path.getsize(vw.path) > 0
+
+
+def _write_wav(path, seconds=0.35, sr=16000):
+    import wave
+
+    t = np.arange(int(seconds * sr)) / sr
+    pcm = (np.sin(2 * np.pi * 220 * t) * 0.4 * 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+def test_run_with_hooks_and_cache(pipeline, tmp_path):
+    """Full run(): batched restoration hooks, 2x final-enhanced output,
+    --cropped_image 1x output, and the per-video artifact cache
+    (reference: inference.py:228-330, facing.py:89-198).
+
+    This test checks ORCHESTRATION (hook call contracts, cache keys, output
+    geometry), so the heavy device programs are replaced with shape-correct
+    fakes — the real models run in test_full_pipeline_runs above; the real
+    hooks run in tests/test_restoration_tail.py."""
+    import dataclasses
+
+    from s2v_tpu.io.video_io import VideoReader
+    from s2v_tpu.utils.config import override as cfg_override
+
+    pipe = pipeline
+    old_cfg, old_models = pipe.cfg, pipe.models
+    old_jits = dict(pipe._jits)
+    # shape-correct fakes for the heavy programs (orchestration test)
+    pipe._jits = {
+        "recon": lambda v, x: jnp.ones((x.shape[0], 257), jnp.float32) * 0.1,
+        "dnet": lambda v, img, c: jnp.clip(img, -1.0, 1.0),
+        "enet": lambda v, mel, face, ref: jnp.clip(face[..., :3] + 0.1, 0, 1),
+    }
+
+    frames = (RNG.rand(N_FRAMES, H, W, 3) * 255).astype(np.uint8)
+    clip = tmp_path / "clip.npz"
+    np.savez_compressed(clip, frames=frames, fps=25.0)
+    wav = tmp_path / "speech.wav"
+    _write_wav(wav)
+
+    calls = {"stab": 0, "ref": 0, "mouth": 0, "final": 0}
+    real_stabilize = pipe.stabilize
+
+    def counting_stabilize(*a, **k):
+        calls["stab"] += 1
+        return real_stabilize(*a, **k)
+
+    def ref_hook(stack):
+        calls["ref"] += 1
+        assert stack.ndim == 4 and stack.shape[1:] == (256, 256, 3)
+        return stack
+
+    def mouth_hook(fr, boxes):
+        calls["mouth"] += 1
+        assert fr.ndim == 4 and boxes.shape == (len(fr), 4)
+        return fr
+
+    def final_hook(fr, boxes):
+        calls["final"] += 1
+        return np.repeat(np.repeat(fr, 2, axis=1), 2, axis=2).astype(np.uint8)
+
+    try:
+        pipe.stabilize = counting_stabilize
+        pipe.models = dataclasses.replace(
+            old_models, ref_enhancer=ref_hook, mouth_restorer=mouth_hook,
+            final_enhancer=final_hook,
+        )
+        pipe.cfg = cfg_override(old_cfg, {"infer.tmp_dir": str(tmp_path / "t")})
+
+        out_path = pipe.run(str(clip), str(wav), str(tmp_path / "out.npz"))
+        got = VideoReader(out_path).read_all()
+        assert got.shape[1:] == (2 * H, 2 * W, 3)  # 2x (inference.py:246)
+        assert calls == {"stab": 1, "ref": 1,
+                         "mouth": calls["mouth"], "final": calls["final"]}
+        assert calls["mouth"] >= 1 and calls["final"] >= 1
+
+        # second run hits the artifact cache: Steps 1-3/5 skipped
+        pipe.run(str(clip), str(wav), str(tmp_path / "out2.npz"))
+        assert calls["stab"] == 1 and calls["ref"] == 1
+
+        # --re_preprocess forces recompute
+        pipe.cfg = cfg_override(pipe.cfg, {"infer.re_preprocess": "true"})
+        pipe.run(str(clip), str(wav), str(tmp_path / "out3.npz"))
+        assert calls["stab"] == 2 and calls["ref"] == 2
+
+        # --cropped_image: 1x output (inference.py:316-325)
+        pipe.cfg = cfg_override(
+            pipe.cfg, {"infer.cropped_image": "true",
+                       "infer.re_preprocess": "false"})
+        out4 = pipe.run(str(clip), str(wav), str(tmp_path / "out4.npz"))
+        got4 = VideoReader(out4).read_all()
+        assert got4.shape[1:] == (H, W, 3)
+    finally:
+        pipe.cfg, pipe.models, pipe.stabilize = old_cfg, old_models, real_stabilize
+        pipe._jits = old_jits

@@ -1,0 +1,135 @@
+"""Batched restoration-tail tests: device-side affine warps, the GPEN SR
+composite (use_sr path), and the batched GFPGAN mouth restorer."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2v_tpu.ops.warp import affine_warp, grid_sample_bilinear
+from s2v_tpu.pipeline.enhance import FaceEnhancer, affine_sample_grid
+
+RNG = np.random.RandomState(31)
+
+
+def assert_uint8_close(a, b, frac_within_1=0.999, max_abs=4):
+    """Batch vs single programs are different XLA graphs: f32 reassociation
+    moves a handful of pixels across a uint8 rounding boundary. Require
+    near-total agreement within 1 gray level and a tiny absolute cap."""
+    d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    assert (d <= 1).mean() >= frac_within_1, (d > 1).mean()
+    assert d.max() <= max_abs, d.max()
+
+
+def test_affine_warp_matches_host_grid():
+    """The device-built grid reproduces the host affine_sample_grid path."""
+    img = RNG.rand(3, 40, 48, 3).astype(np.float32)
+    mats = np.stack([
+        np.array([[1.2, 0.1, 3.0], [-0.05, 0.9, 1.5]]),
+        np.array([[0.7, 0.0, -2.0], [0.0, 0.7, 4.0]]),
+        np.array([[1.0, 0.3, 0.0], [-0.3, 1.0, 2.0]]),
+    ]).astype(np.float32)
+    out = np.asarray(affine_warp(jnp.asarray(img), jnp.asarray(mats), (32, 36)))
+    for i in range(3):
+        grid = affine_sample_grid(mats[i], (32, 36), (40, 48))
+        want = np.asarray(grid_sample_bilinear(
+            jnp.asarray(img[i : i + 1]), jnp.asarray(grid)[None]))[0]
+        np.testing.assert_allclose(out[i], want, rtol=1e-4, atol=1e-4)
+
+
+def test_affine_warp_inverse_mode():
+    """inverse=True takes dst->src matrices directly (WARP_INVERSE_MAP)."""
+    img = RNG.rand(1, 32, 32, 2).astype(np.float32)
+    fwd = np.array([[[1.0, 0.0, 5.0], [0.0, 1.0, 3.0]]], np.float32)
+    inv = np.array([[[1.0, 0.0, -5.0], [0.0, 1.0, -3.0]]], np.float32)
+    a = np.asarray(affine_warp(jnp.asarray(img), jnp.asarray(fwd), (32, 32)))
+    b = np.asarray(affine_warp(jnp.asarray(img), jnp.asarray(inv), (32, 32),
+                               inverse=True))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def enhancer_models():
+    from s2v_tpu.models.gpen import FullGenerator
+    from s2v_tpu.models.parsenet import ParseNet
+    from s2v_tpu.models.retinaface import RetinaFace
+    from s2v_tpu.models.rrdbnet import RRDBNet
+
+    rng = jax.random.PRNGKey(3)
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    in_size = 64
+    return {
+        "retinaface": RetinaFace().init(k1, jnp.zeros((1, 96, 96, 3))),
+        "facegan": FullGenerator(size=in_size).init(
+            k2, jnp.zeros((1, in_size, in_size, 3))
+        ),
+        "parsenet": ParseNet().init(k3, jnp.zeros((1, 512, 512, 3))),
+        "srmodel": RRDBNet(scale=2, num_feat=32).init(
+            k4, jnp.zeros((1, 48, 48, 3))
+        ),
+    }
+
+
+@pytest.mark.slow
+def test_face_enhancer_sr_batch(enhancer_models):
+    """use_sr path (the GPEN-BFR-2048 + RealESRNet configuration,
+    face_enhancement.py:103-106,177-178): output is sr_scale x input."""
+    enh = FaceEnhancer(enhancer_models, in_size=64, use_sr=True, sr_scale=2,
+                       threshold=-1.0, chunk=2)
+    assert enh.use_sr
+    frames = (RNG.rand(3, 48, 48, 3) * 255).astype(np.uint8)
+    out = enh.process_batch(frames, face_enhance=True)
+    assert out.shape == (3, 96, 96, 3) and out.dtype == np.uint8
+    assert out.std() > 0
+
+
+@pytest.mark.slow
+def test_face_enhancer_batch_matches_single(enhancer_models):
+    """process_batch == per-frame __call__ on the default composite path."""
+    models = {k: v for k, v in enhancer_models.items() if k != "srmodel"}
+    enh = FaceEnhancer(models, in_size=64, threshold=-1.0, chunk=2)
+    frames = (RNG.rand(2, 48, 48, 3) * 255).astype(np.uint8)
+    batch = enh.process_batch(frames, face_enhance=False)
+    singles = np.stack([enh(f, face_enhance=False) for f in frames])
+    assert_uint8_close(batch, singles)
+
+
+@pytest.mark.slow
+def test_mouth_restorer_batched(enhancer_models):
+    """make_mouth_restorer: batched GFPGAN restore + mouth mask + blend."""
+    from s2v_tpu.models.gfpgan import GFPGANv1Clean
+    from s2v_tpu.pipeline.restoration import GFPGANRestorer, make_mouth_restorer
+
+    size = 64
+    kw = dict(num_style_feat=128, channel_multiplier=1, num_mlp=2)
+    gfp_vars = GFPGANv1Clean(out_size=size, **kw).init(
+        jax.random.PRNGKey(5), jnp.zeros((1, size, size, 3)))
+    models = {
+        "retinaface": enhancer_models["retinaface"],
+        "parsenet": enhancer_models["parsenet"],
+        "gfpgan": gfp_vars,
+    }
+    restorer = GFPGANRestorer(models, threshold=-1.0, chunk=2, size=size,
+                              gfpgan_kwargs=kw)
+    frames = (RNG.rand(3, 96, 96, 3) * 255).astype(np.uint8)
+    restored = restorer.enhance_batch(frames)
+    assert restored.shape == frames.shape and restored.dtype == np.uint8
+    # single-frame wrapper matches the batch
+    one = restorer.enhance(frames[0])
+    assert_uint8_close(one, restored[0])
+
+    import s2v_tpu.pipeline.restoration as R
+
+    orig = R.GFPGANRestorer
+    R.GFPGANRestorer = lambda m, arch, chunk: restorer
+    try:
+        hook = make_mouth_restorer(models, chunk=2)
+    finally:
+        R.GFPGANRestorer = orig
+    assert hook is not None
+    boxes = np.array([[20, 24, 70, 90], [18, 20, 72, 88], [20, 24, 70, 90]],
+                     np.int32)  # (x1, y1, x2, y2)
+    out = hook(frames.astype(np.float32), boxes)
+    assert out.shape == (3, 96, 96, 3)
+    assert np.isfinite(out).all()

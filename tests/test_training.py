@@ -51,15 +51,20 @@ def test_style_conv_mask_selects_only_style_convs():
     assert mask["low_res"]["decoder"]["w"] is False
 
 
-def test_enet_finetune_updates_only_style_convs():
+@pytest.fixture(scope="module")
+def enet_variables():
     from s2v_tpu.models import ENet
+
+    return ENet().init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 80, 16, 1)),
+        jnp.zeros((1, 384, 384, 6)), jnp.zeros((1, 384, 384, 3)),
+    )
+
+
+def test_enet_finetune_updates_only_style_convs(enet_variables):
     from s2v_tpu.train.finetune_enet import make_enet_finetune_step
 
-    rng = jax.random.PRNGKey(0)
-    variables = ENet().init(
-        rng, jnp.zeros((1, 80, 16, 1)), jnp.zeros((1, 384, 384, 6)),
-        jnp.zeros((1, 384, 384, 3)),
-    )
+    variables = enet_variables
     state, step_fn = make_enet_finetune_step(variables, TrainConfig(lr=1e-3))
     batch = {
         "mel": jnp.asarray(RNG.rand(1, 80, 16, 1).astype(np.float32)),
@@ -81,6 +86,37 @@ def test_enet_finetune_updates_only_style_convs():
     assert not changed(new_state.params["style_encoder"],
                        state.params["style_encoder"])
     assert not changed(new_state.params["low_res"], state.params["low_res"])
+
+
+def test_enet_finetune_real_vgg_and_identity_terms(enet_variables):
+    """The wired fine-tune uses the converted VGG16 perceptual and the
+    face3d identity embedding when supplied (training.py:94-134, 47-92)."""
+    from s2v_tpu.models.resnet import ReconNet
+    from s2v_tpu.models.vgg import VGG16Features
+    from s2v_tpu.train.finetune_enet import (
+        make_enet_finetune_step,
+        make_id_embed_fn,
+    )
+
+    rng = jax.random.PRNGKey(1)
+    _, k2, k3 = jax.random.split(rng, 3)
+    variables = enet_variables
+    vgg_vars = VGG16Features().init(k2, jnp.zeros((1, 224, 224, 3)))
+    recon_vars = ReconNet().init(k3, jnp.zeros((1, 224, 224, 3)))
+    state, step_fn = make_enet_finetune_step(
+        variables, TrainConfig(lr=1e-3),
+        id_embed_fn=make_id_embed_fn(recon_vars), vgg_variables=vgg_vars,
+    )
+    batch = {
+        "mel": jnp.asarray(RNG.rand(1, 80, 16, 1).astype(np.float32)),
+        "face": jnp.asarray(RNG.rand(1, 384, 384, 6).astype(np.float32)),
+        "ref": jnp.asarray(RNG.rand(1, 384, 384, 3).astype(np.float32)),
+        "target": jnp.asarray(RNG.rand(1, 384, 384, 3).astype(np.float32)),
+    }
+    _, metrics = step_fn(state, batch)
+    assert {"l1", "perceptual", "id", "loss"} <= set(metrics)
+    assert float(metrics["perceptual"]) > 0 and float(metrics["id"]) > 0
+    assert np.isfinite(float(metrics["loss"]))
 
 
 def test_checkpointer_roundtrip(tmp_path):
