@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from s2v_tpu.models.iresnet import IResNet
 from s2v_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS

@@ -110,7 +110,7 @@ def test_partial_fc_sampling_rate_one_matches_full():
 
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def run(rate):
         f = shard_map(
@@ -140,7 +140,7 @@ def test_partial_fc_sampling_keeps_positives_and_sparsifies_grads():
     labels = RNG.randint(0, c, size=b).astype(np.int32)
     weight = RNG.randn(c, e).astype(np.float32)
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def loss(ft, lb, w, rate):
         f = shard_map(
