@@ -170,16 +170,18 @@ def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
     gpen512 = _fill_variables(FullGenerator(size=512).init, z((1, 512, 512, 3)))
     enhancer = FaceEnhancer(
         {**aux, "facegan": gpen512}, in_size=512, chunk=8)
-    fixed_tfms = np.tile(
-        np.asarray([[[2.0, 0.0, -hw * 0.25], [0.0, 2.0, -hw * 0.25]]],
-                   np.float32), (8, 1, 1))
-    fixed_inv = np.tile(
-        np.asarray([[[0.5, 0.0, hw * 0.125], [0.0, 0.5, hw * 0.125]]],
-                   np.float32), (8, 1, 1))
+    tfm1 = np.asarray([[[2.0, 0.0, -hw * 0.25], [0.0, 2.0, -hw * 0.25]]],
+                      np.float32)
+    inv1 = np.asarray([[[0.5, 0.0, hw * 0.125], [0.0, 0.5, hw * 0.125]]],
+                      np.float32)
+    fixed_tfms = lambda n: np.tile(tfm1, (n, 1, 1))
+    fixed_inv = lambda n: np.tile(inv1, (n, 1, 1))
     # random weights -> garbage detections; pin the per-frame similarity
-    # transforms so geometry stays sane (device programs still run for real)
+    # transforms so geometry stays sane (device programs still run for
+    # real). NB: FaceEnhancer calls _transforms once for the WHOLE clip,
+    # GFPGANRestorer per chunk — tile to the call's length.
     enhancer._transforms = lambda l, b, v: (
-        fixed_tfms[: len(l)], fixed_inv[: len(l)],
+        fixed_tfms(len(l)), fixed_inv(len(l)),
         np.zeros((len(l),), bool))
     # Step 5 parity: the reference passes face_enhance=False here
     # (inference.py:237) — detection + parse + composite only
@@ -188,8 +190,8 @@ def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
 
     gfp = _fill_variables(GFPGANv1Clean().init, z((1, 512, 512, 3)))
     restorer = R.GFPGANRestorer({**aux, "gfpgan": gfp}, chunk=8)
-    restorer._transforms = lambda l, v: (fixed_tfms[: len(l)],
-                                         fixed_inv[: len(l)])
+    restorer._transforms = lambda l, v: (fixed_tfms(len(l)),
+                                         fixed_inv(len(l)))
     orig_cls = R.GFPGANRestorer
     R.GFPGANRestorer = lambda m, arch, chunk: restorer
     try:
