@@ -229,25 +229,30 @@ def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
     # Detector/landmark *programs* run for real (their device time counts);
     # random-weight outputs are replaced with synthetic geometry so host
     # geometry and downstream stages stay well-conditioned.
-    real_sweep = pipe._detect_sweep
-
-    def detect_boxes(frames, batch=8):
-        run = pipe._detect_fn()
-        real_sweep(run, frames.astype(np.float32), batch)
+    def synth_boxes(frames):
         h, w = frames.shape[1:3]
         cx, cy, s = w / 2, h / 2, min(h, w) * 0.3
         return np.tile(np.asarray([cx - s, cy - s, cx + s, cy + s],
                                   np.float32), (len(frames), 1))
 
-    fan_run = pipe._fan_fn()
+    def detect_boxes(frames, batch=16):
+        run = pipe._detect_fn()
+        x = np.ascontiguousarray(frames)
+        pipe._chunk_sweep(
+            lambda i: run(models.s3fd,
+                          jnp.asarray(pipe._pad_chunk(x, i, batch))),
+            len(x), batch)
+        return synth_boxes(frames)
 
-    def extract_landmarks(frames, batch=8):
-        boxes = detect_boxes(frames, batch)
-        x = frames.astype(np.float32)
-        for i in range(0, len(x) - batch + 1, batch):
-            fan_run(models.fan, jnp.asarray(x[i : i + batch]),
-                    jnp.asarray(boxes[i : i + batch]))
-        return _synthetic_landmarks(len(frames), *frames.shape[1:3])
+    def extract_landmarks(frames, batch=16, return_boxes=False):
+        run = pipe._landmark_fn()  # fused S3FD+FAN, real device work
+        x = np.ascontiguousarray(frames)
+        pipe._chunk_sweep(
+            lambda i: run(models.s3fd, models.fan,
+                          jnp.asarray(pipe._pad_chunk(x, i, batch))),
+            len(x), batch)
+        lms = _synthetic_landmarks(len(frames), *frames.shape[1:3])
+        return (lms, synth_boxes(frames)) if return_boxes else lms
 
     pipe.detect_boxes = detect_boxes
     pipe.extract_landmarks = extract_landmarks
@@ -282,10 +287,37 @@ def bench_e2e(n_frames: int = None, hw: int = None, with_final: bool = False):
 
     pipe = build_e2e_pipeline(n_frames, hw, with_final)
 
+    # per-stage wall clock (accumulated across calls) for the split profile
+    stage_t = {}
+
+    def timed(name, fn):
+        def wrap(*a, **k):
+            t0 = time.time()
+            r = fn(*a, **k)
+            stage_t[name] = stage_t.get(name, 0.0) + (time.time() - t0)
+            return r
+        return wrap
+
+    pipe.extract_landmarks = timed("landmarks", pipe.extract_landmarks)
+    pipe.ffhq_crop = timed("ffhq", pipe.ffhq_crop)
+    pipe.extract_coeffs = timed("coeffs", pipe.extract_coeffs)
+    pipe.stabilize = timed("stabilize", pipe.stabilize)
+    pipe.detect_boxes = timed("detect6", pipe.detect_boxes)
+    pipe.build_reference_faces = timed("reffaces", pipe.build_reference_faces)
+    if pipe.models.ref_enhancer is not None:
+        pipe.models.ref_enhancer = timed("gpen512", pipe.models.ref_enhancer)
+    if pipe.models.mouth_restorer is not None:
+        pipe.models.mouth_restorer = timed(
+            "mouth", pipe.models.mouth_restorer)
+    if pipe.models.final_enhancer is not None:
+        pipe.models.final_enhancer = timed(
+            "final2048", pipe.models.final_enhancer)
+
     # run 1: compile everything (all stage programs, fixed chunk shapes)
     t0 = time.time()
     pipe.run(clip, wav, os.path.join(workdir, "warm.npz"))
     compile_s = time.time() - t0
+    stage_t.clear()
 
     # run 2: steady state; cache bypassed so Steps 1-5 recompute
     pipe.cfg = override(pipe.cfg, {"infer.re_preprocess": "true"})
@@ -302,6 +334,7 @@ def bench_e2e(n_frames: int = None, hw: int = None, with_final: bool = False):
         "detail": {
             "n_frames": n_out,
             "wall_s": round(wall, 2),
+            "stage_s": {k: round(v, 2) for k, v in stage_t.items()},
             "compile_run_s": round(compile_s, 1),
             "stages": "read,detect,landmarks,3dmm,dnet,mel,gpen512,"
                       "enet,gfpgan+mouth-blend,write"

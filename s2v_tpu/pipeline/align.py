@@ -158,6 +158,47 @@ def perspective_sample_grid(coeffs: np.ndarray, out_hw: Tuple[int, int],
     return np.stack(np.broadcast_arrays(gx, gy), axis=-1).astype(np.float32)
 
 
+def quad_grids_batched(quads: jnp.ndarray, out_size: int,
+                       src_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Device-side batched ``quad_sample_grid``: quads [N, 4, 2] (nw, sw, se,
+    ne in source pixel coords) -> [N, out, out, 2] normalized grids.
+
+    TPU-first: the host ships 8 floats per frame instead of a 256^2 grid
+    (0.5 MB/frame of PCIe/relay traffic); the grid itself is built on-device
+    from broadcasted iota."""
+    quads = jnp.asarray(quads, jnp.float32)
+    nw, sw, se, ne = quads[:, 0], quads[:, 1], quads[:, 2], quads[:, 3]
+    t = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size
+    tx = t[None, None, :, None]  # along width
+    ty = t[None, :, None, None]  # along height
+    c = lambda v: v[:, None, None, :]
+    top = c(nw) + tx * c(ne - nw)
+    bot = c(sw) + tx * c(se - sw)
+    src = top + ty * (bot - top)  # [N, out, out, 2] source pixel coords
+    h, w = src_hw
+    gx = 2.0 * src[..., 0] / w - 1.0
+    gy = 2.0 * src[..., 1] / h - 1.0
+    return jnp.stack([gx, gy], axis=-1)
+
+
+def perspective_grids_batched(coeffs: jnp.ndarray, out_hw: Tuple[int, int],
+                              src_hw: Tuple[int, int]) -> jnp.ndarray:
+    """Device-side batched ``perspective_sample_grid``: coeffs [N, 8] ->
+    [N, oh, ow, 2] normalized grids (PIL PERSPECTIVE convention)."""
+    cf = jnp.asarray(coeffs, jnp.float32)
+    a, b, cc, d, e, f, g, h = [cf[:, i][:, None, None] for i in range(8)]
+    oh, ow = out_hw
+    xs = jnp.arange(ow, dtype=jnp.float32)[None, None, :] + 0.5
+    ys = jnp.arange(oh, dtype=jnp.float32)[None, :, None] + 0.5
+    denom = g * xs + h * ys + 1.0
+    sx = (a * xs + b * ys + cc) / denom
+    sy = (d * xs + e * ys + f) / denom
+    sh, sw = src_hw
+    gx = 2.0 * sx / sw - 1.0
+    gy = 2.0 * sy / sh - 1.0
+    return jnp.stack([gx, gy], axis=-1)
+
+
 def warp_by_grid(images: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """Batched bilinear resample: images [B,H,W,C], grid [B,Ho,Wo,2] or
     [Ho,Wo,2] (broadcast). Out-of-bounds samples are zero (PIL fills 0)."""

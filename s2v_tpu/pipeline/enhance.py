@@ -213,7 +213,8 @@ class FaceEnhancer:
 
         @jax.jit
         def detect(variables, frames_rgb):
-            bgr = frames_rgb[..., ::-1] - jnp.asarray(RETINA_MEAN)
+            x = frames_rgb.astype(jnp.float32)
+            bgr = x[..., ::-1] - jnp.asarray(RETINA_MEAN)
             return detect_faces(retina.apply(variables, bgr),
                                 frames_rgb.shape[1:3], threshold)
 
@@ -222,8 +223,10 @@ class FaceEnhancer:
             # RealESRNet config for the final-enhancement stage: num_feat 32
             # (real_esrnet.py:9-22, constructed at inference.py:228-231)
             out = RRDBNet(scale=sr_scale, num_feat=sr_num_feat).apply(
-                variables, (frames_rgb / 255.0).astype(dt))
-            return jnp.clip(out.astype(jnp.float32), 0.0, 1.0) * 255.0
+                variables,
+                (frames_rgb.astype(jnp.float32) / 255.0).astype(dt))
+            return (jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+                    * 255.0).astype(jnp.uint8)
 
         @functools.partial(jax.jit, static_argnums=(5,))
         def faces_and_masks(variables_gan, variables_parse, frames, tfms,
@@ -237,7 +240,7 @@ class FaceEnhancer:
             at all. Returns (ef [B,S,S,3], tmp_mask [B,S,S,1], mask_sharp512
             [B,512,512,1]).
             """
-            of = affine_warp(frames, tfms, (s, s))
+            of = affine_warp(frames.astype(jnp.float32), tfms, (s, s))
             if do_enhance:
                 x = (of / 255.0 * 2.0 - 1.0).astype(dt)
                 ef = facegan.apply(variables_gan, x, deterministic=True)
@@ -261,7 +264,7 @@ class FaceEnhancer:
             (face_enhancement.py:144-160). Returns (tmp_img, full_mask,
             mask_sharp_warped) at the frame size."""
             hw = out_shape_like.shape[1:3]
-            tmp_img = affine_warp(ef, tfm_invs, hw)
+            tmp_img = affine_warp(ef.astype(jnp.float32), tfm_invs, hw)
             full_mask = affine_warp(tmp_mask, tfm_invs, hw)
             ms = resize_bilinear(mask_sharp512, (s, s))
             mask_sharp_w = affine_warp(ms, tfm_invs, hw)
@@ -272,21 +275,24 @@ class FaceEnhancer:
 
         @jax.jit
         def composite_sr(img_sr, tmp_img, full_mask, valid):
+            img_sr = img_sr.astype(jnp.float32)
             out = img_sr * (1.0 - full_mask) + tmp_img * full_mask
             out = jnp.where(valid[:, None, None, None], out, img_sr)
-            return jnp.clip(out, 0.0, 255.0)
+            return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
         @jax.jit
         def composite_default(ori, tmp_img, full_mask, mask_sharp_w, valid):
+            ori = ori.astype(jnp.float32)
             img = ori * (1.0 - full_mask) + tmp_img * full_mask
             out = ori * (1.0 - mask_sharp_w) + img * mask_sharp_w
             out = jnp.where(valid[:, None, None, None], out, ori)
-            return jnp.clip(out, 0.0, 255.0)
+            return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
         @jax.jit
         def composite_laplacian(ori, tmp_img, blend_mask, valid):
             """possion_blending path (face_enhancement.py:179-189): 6-level
             Laplacian blend at 512^2, resized back to the frame."""
+            ori = ori.astype(jnp.float32)
             hw = ori.shape[1:3]
             fi = resize_bilinear(tmp_img, (512, 512))
             o5 = resize_bilinear(ori, (512, 512))
@@ -294,10 +300,11 @@ class FaceEnhancer:
             blended = laplacian_pyramid_blend(fi, o5, m5, num_levels=6)
             out = resize_bilinear(jnp.clip(blended, 0.0, 255.0), hw)
             out = jnp.where(valid[:, None, None, None], out, ori)
-            return jnp.clip(out, 0.0, 255.0)
+            return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
         self._detect = detect
         self._sr = sr
+        self._up2 = {}
         self._faces_and_masks = faces_and_masks
         self._paste = paste
         self._composite_sr = composite_sr
@@ -345,42 +352,46 @@ class FaceEnhancer:
         talking-head frames.
         """
         n = len(frames_rgb)
-        x = frames_rgb.astype(np.float32)
+        x = np.ascontiguousarray(
+            np.clip(frames_rgb, 0, 255).astype(np.uint8))
 
         if self.use_sr:
             # SR the full frame, then run detection on the bilinear-upscaled
             # frame (face_enhancement.py:103-106)
             sh = (x.shape[1] * self.sr_scale, x.shape[2] * self.sr_scale)
+            if sh not in self._up2:
+                self._up2[sh] = jax.jit(lambda c: jnp.clip(
+                    resize_bilinear(c.astype(jnp.float32), sh),
+                    0, 255).astype(jnp.uint8))
+            up2 = self._up2[sh]
             img_sr = self._chunked(
                 lambda c: self._sr(self.models["srmodel"], jnp.asarray(c)), x)
-            x = self._chunked(
-                lambda c: resize_bilinear(jnp.asarray(c), sh), x)
+            x = self._chunked(lambda c: up2(jnp.asarray(c)), x)
         else:
             img_sr = None
 
-        boxes_l, landms_l, valid_l = [], [], []
+        # phase 1: dispatch ALL detection chunks asynchronously, then read
+        # back — host->device transfers overlap device compute
         dk = min(max(self.chunk, 4), n)
+        det = []
         for i in range(0, n, dk):
             c = x[i : i + dk]
             pad = dk - len(c)
             if pad:
                 c = np.concatenate([c, np.repeat(c[-1:], pad, 0)])
-            b, l, v = self._detect(self.models["retinaface"], jnp.asarray(c))
-            boxes_l.append(np.asarray(b)[: dk - pad])
-            landms_l.append(np.asarray(l)[: dk - pad])
-            valid_l.append(np.asarray(v)[: dk - pad])
-        boxes = np.concatenate(boxes_l)
-        landms = np.concatenate(landms_l)
-        valid = np.concatenate(valid_l)
+            det.append((pad, self._detect(
+                self.models["retinaface"], jnp.asarray(c))))
+        boxes = np.concatenate([np.asarray(b)[: dk - p] for p, (b, l, v) in det])
+        landms = np.concatenate([np.asarray(l)[: dk - p] for p, (b, l, v) in det])
+        valid = np.concatenate([np.asarray(v)[: dk - p] for p, (b, l, v) in det])
 
         tfms, tfm_invs, small = self._transforms(landms, boxes, valid)
-        ori = x if ori_frames is None else ori_frames.astype(np.float32)
+        ori = x if ori_frames is None else np.ascontiguousarray(
+            np.clip(ori_frames, 0, 255).astype(np.uint8))
 
-        out = np.zeros(
-            (n, *(img_sr.shape[1:3] if self.use_sr else ori.shape[1:3]), 3),
-            np.uint8,
-        )
+        # phase 2: dispatch every enhance/paste/composite chain, collect last
         k = min(self.chunk, n)
+        pending = []
         for i in range(0, n, k):
             sl = slice(i, min(i + k, n))
             pad = k - (sl.stop - sl.start)
@@ -417,20 +428,29 @@ class FaceEnhancer:
                 res = self._composite_default(
                     jnp.asarray(ix(ori)), tmp_img, full_mask, mask_sharp_w, v
                 )
-            out[sl] = np.asarray(res, np.float32)[: sl.stop - sl.start].astype(np.uint8)
+            pending.append((sl, res))
+
+        out = np.zeros(
+            (n, *(img_sr.shape[1:3] if self.use_sr else ori.shape[1:3]), 3),
+            np.uint8,
+        )
+        for sl, res in pending:
+            out[sl] = np.asarray(res)[: sl.stop - sl.start]
         return out
 
     def _chunked(self, fn, x: np.ndarray) -> np.ndarray:
-        """Apply a device program over fixed-size chunks with tail padding."""
+        """Apply a device program over fixed-size chunks with tail padding,
+        dispatching every chunk before reading any back (async overlap)."""
         n, k = len(x), min(self.chunk, len(x))
-        outs = []
+        pending = []
         for i in range(0, n, k):
             c = x[i : i + k]
             pad = k - len(c)
             if pad:
                 c = np.concatenate([c, np.repeat(c[-1:], pad, 0)])
-            outs.append(np.asarray(fn(c))[: k - pad])
-        return np.concatenate(outs)
+            pending.append((pad, fn(c)))
+        return np.concatenate(
+            [np.asarray(r)[: k - pad] for pad, r in pending])
 
     def __call__(self, frame_rgb: np.ndarray, face_enhance: bool = True,
                  laplacian_blend: bool = False,

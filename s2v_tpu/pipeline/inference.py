@@ -55,9 +55,7 @@ from s2v_tpu.pipeline.align import (
     compute_transform,
     crop_quad_params,
     ffhq_crop_box,
-    perspective_sample_grid,
     quad_from_cxy,
-    quad_sample_grid,
     warp_by_grid,
 )
 from s2v_tpu.pipeline.face3d_prep import align_img
@@ -120,8 +118,9 @@ class LipSyncPipeline:
             model = S3FD()
 
             @jax.jit
-            def run(variables, frames_rgb):  # [B,H,W,3] float RGB 0..255
-                bgr = frames_rgb[..., ::-1] - jnp.asarray(BGR_MEAN)
+            def run(variables, frames_rgb):  # [B,H,W,3] u8/float RGB 0..255
+                bgr = frames_rgb.astype(jnp.float32)[..., ::-1] - jnp.asarray(
+                    BGR_MEAN)
                 outs = model.apply(variables, bgr)
                 return best_boxes(outs)
 
@@ -134,6 +133,7 @@ class LipSyncPipeline:
 
             @jax.jit
             def run(variables, frames_rgb, boxes):  # frames 0..255
+                frames_rgb = frames_rgb.astype(jnp.float32)
                 centers, scales = box_to_center_scale(boxes)
                 crops = crop_faces_batched(frames_rgb, centers, scales)
                 hm = model.apply(variables, crops)
@@ -142,25 +142,73 @@ class LipSyncPipeline:
             self._jits["fan"] = run
         return self._jits["fan"]
 
-    def detect_boxes(self, frames_rgb: np.ndarray, batch: int = 8) -> np.ndarray:
+    def _landmark_fn(self):
+        """Fused S3FD detect + FAN landmarks: ONE program per frame chunk —
+        the frames cross the host->device link once instead of twice and the
+        per-call dispatch cost is halved (KeypointExtractor makes two model
+        calls per frame, face3d/extract_kp_videos.py:31-46)."""
+        if "detect_fan" not in self._jits:
+            s3fd = S3FD()
+            fan = FAN()
+
+            @jax.jit
+            def run(vars_s3fd, vars_fan, frames_rgb):
+                x = frames_rgb.astype(jnp.float32)
+                bgr = x[..., ::-1] - jnp.asarray(BGR_MEAN)
+                boxes, valid = best_boxes(s3fd.apply(vars_s3fd, bgr))
+                centers, scales = box_to_center_scale(boxes)
+                crops = crop_faces_batched(x, centers, scales)
+                hm = fan.apply(vars_fan, crops)
+                lms = heatmaps_to_landmarks(hm, centers, scales)
+                return boxes, valid, lms
+
+            self._jits["detect_fan"] = run
+        return self._jits["detect_fan"]
+
+    @staticmethod
+    def _chunk_sweep(dispatch, n: int, batch: int):
+        """Dispatch `dispatch(i0, chunk_slice)` for every fixed-size chunk
+        WITHOUT syncing in between (JAX async dispatch overlaps the host->
+        device transfers with device compute — on a relayed TPU the link is
+        the bottleneck), then collect. Returns the list of device results."""
+        pending = []
+        for i in range(0, n, batch):
+            pending.append((dispatch(i), batch - min(batch, n - i)))
+        return [tuple(np.asarray(x)[: batch - pad] for x in r)
+                if isinstance(r, tuple)
+                else np.asarray(r)[: batch - pad]
+                for r, pad in pending]
+
+    @staticmethod
+    def _pad_chunk(x: np.ndarray, i: int, batch: int):
+        chunk = x[i : i + batch]
+        pad = batch - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
+        return chunk
+
+    def detect_boxes(self, frames_rgb: np.ndarray, batch: int = 16) -> np.ndarray:
         """[N,H,W,3] uint8 RGB -> [N,4] best face boxes (float, unclipped).
 
         On device OOM the batch is halved and the sweep restarts — the
         reference's face_detect backoff (inference_utils.py:110-128)."""
         self._require("s3fd")
         run = self._detect_fn()
-        x = frames_rgb.astype(np.float32)
+        x = np.ascontiguousarray(frames_rgb)  # u8 stays u8 across the link
         while True:
             try:
-                out, valid = self._detect_sweep(run, x, batch)
+                res = self._chunk_sweep(
+                    lambda i: run(self.models.s3fd,
+                                  jnp.asarray(self._pad_chunk(x, i, batch))),
+                    len(x), batch)
                 break
             except (RuntimeError, jax.errors.JaxRuntimeError) as e:
                 if "RESOURCE_EXHAUSTED" not in str(e) or batch == 1:
                     raise
                 batch //= 2
                 print(f"Recovering from OOM error; New batch size: {batch}")
-        boxes = np.concatenate(out)
-        ok = np.concatenate(valid)
+        boxes = np.concatenate([r[0] for r in res])
+        ok = np.concatenate([r[1] for r in res])
         if not ok.all():
             # reference raises on undetected faces (inference_utils.py:132-134)
             bad = int(np.argmin(ok))
@@ -170,36 +218,38 @@ class LipSyncPipeline:
             )
         return boxes
 
-    def _detect_sweep(self, run, x: np.ndarray, batch: int):
-        out, valid = [], []
-        for i in range(0, len(x), batch):
-            chunk = x[i : i + batch]
-            pad = batch - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-            b, v = run(self.models.s3fd, jnp.asarray(chunk))
-            out.append(np.asarray(b)[: batch - pad])
-            valid.append(np.asarray(v)[: batch - pad])
-        return out, valid
-
-    def extract_landmarks(self, frames_rgb: np.ndarray, batch: int = 8) -> np.ndarray:
+    def extract_landmarks(self, frames_rgb: np.ndarray, batch: int = 16,
+                          return_boxes: bool = False):
         """[N,H,W,3] uint8 RGB -> [N,68,2] landmarks (KeypointExtractor
-        equivalent: S3FD box -> FAN heatmaps -> coords)."""
-        self._require("fan")
-        boxes = self.detect_boxes(frames_rgb, batch)
-        run = self._fan_fn()
-        out = []
-        x = frames_rgb.astype(np.float32)
-        for i in range(0, len(x), batch):
-            chunk = x[i : i + batch]
-            bchunk = boxes[i : i + batch]
-            pad = batch - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-                bchunk = np.concatenate([bchunk, np.repeat(bchunk[-1:], pad, 0)])
-            lm = run(self.models.fan, jnp.asarray(chunk), jnp.asarray(bchunk))
-            out.append(np.asarray(lm)[: batch - pad])
-        return np.concatenate(out)
+        equivalent: S3FD box -> FAN heatmaps -> coords, fused into one
+        program per chunk). With ``return_boxes`` also returns the S3FD
+        boxes — callers that need both (Step 1 + Step 6 of run()) pay for
+        one detection sweep instead of two."""
+        self._require("s3fd", "fan")
+        run = self._landmark_fn()
+        x = np.ascontiguousarray(frames_rgb)
+        while True:
+            try:
+                res = self._chunk_sweep(
+                    lambda i: run(self.models.s3fd, self.models.fan,
+                                  jnp.asarray(self._pad_chunk(x, i, batch))),
+                    len(x), batch)
+                break
+            except (RuntimeError, jax.errors.JaxRuntimeError) as e:
+                if "RESOURCE_EXHAUSTED" not in str(e) or batch == 1:
+                    raise
+                batch //= 2
+                print(f"Recovering from OOM error; New batch size: {batch}")
+        boxes = np.concatenate([r[0] for r in res])
+        ok = np.concatenate([r[1] for r in res])
+        if not ok.all():
+            bad = int(np.argmin(ok))
+            raise ValueError(
+                f"Face not detected in frame {bad}! Ensure the video contains "
+                "a face in all the frames."
+            )
+        lms = np.concatenate([r[2] for r in res])
+        return (lms, boxes) if return_boxes else lms
 
     def ffhq_crop(self, frames_rgb: np.ndarray, first_lm: np.ndarray):
         """Step 1 crop (facing.py:74-86): first-frame FFHQ quad applied to
@@ -215,11 +265,13 @@ class LipSyncPipeline:
         cropped = frames_rgb[:, cly:cry, clx:crx][:, ly:ry, lx:rx]
         if "ffhq_resize" not in self._jits:
             self._jits["ffhq_resize"] = jax.jit(
-                lambda x: jnp.clip(resize_bilinear(x, (256, 256)), 0, 255))
+                lambda x: jnp.clip(
+                    resize_bilinear(x.astype(jnp.float32), (256, 256)),
+                    0, 255).astype(jnp.uint8))
         frames_256 = np.asarray(
-            self._jits["ffhq_resize"](jnp.asarray(cropped.astype(np.float32)))
+            self._jits["ffhq_resize"](jnp.asarray(np.ascontiguousarray(cropped)))
         )
-        return frames_256.astype(np.uint8), (oy1, oy2, ox1, ox2)
+        return frames_256, (oy1, oy2, ox1, ox2)
 
     # ------------------------------------------------------------------
     # Step 2: 3DMM coefficients
@@ -259,15 +311,10 @@ class LipSyncPipeline:
                 lambda v, x: model.apply(v, x)
             )
         run = self._jits["recon"]
-        coeffs = []
-        for i in range(0, n, batch):
-            chunk = aligned[i : i + batch]
-            pad = batch - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-            out = run(self.models.recon, jnp.asarray(chunk))
-            coeffs.append(np.asarray(out)[: batch - pad])
-        coeffs = np.concatenate(coeffs)  # [N, 257]
+        coeffs = np.concatenate(self._chunk_sweep(
+            lambda i: run(self.models.recon,
+                          jnp.asarray(self._pad_chunk(aligned, i, batch))),
+            n, batch))  # [N, 257]
         return np.concatenate([coeffs, trans_params], axis=1)  # [N, 262]
 
     # ------------------------------------------------------------------
@@ -313,33 +360,32 @@ class LipSyncPipeline:
         if "dnet" not in self._jits:
             model = DNet()
             dt = self._dt
-            self._jits["dnet"] = jax.jit(
-                lambda v, img, c: model.apply(
-                    v, img.astype(dt), c.astype(dt)
-                )["fake_image"].astype(jnp.float32)
-            )
+
+            @jax.jit
+            def run(v, img_u8, c):
+                # u8 frames cross the link; trans_image + the uint8 output
+                # quantization both happen on-device (4x less relay traffic)
+                img = (img_u8.astype(jnp.float32) / 255.0 * 2.0 - 1.0).astype(dt)
+                fake = model.apply(v, img, c.astype(dt))["fake_image"]
+                fake = fake.astype(jnp.float32)
+                return jnp.clip((fake + 1.0) / 2.0 * 255.0, 0, 255).astype(
+                    jnp.uint8)
+
+            self._jits["dnet"] = run
         run = self._jits["dnet"]
 
-        src = frames_256.astype(np.float32) / 255.0 * 2.0 - 1.0  # trans_image
+        src = frames_256
         if one_shot:
             src = np.repeat(src[0:1], n, axis=0)
-        out = np.zeros_like(frames_256)
-        for i in range(0, n, batch):
-            chunk = src[i : i + batch]
-            cchunk = coeff[i : i + batch]
-            pad = batch - len(chunk)
-            if pad:
-                chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
-                cchunk = jnp.concatenate(
-                    [cchunk, jnp.repeat(cchunk[-1:], pad, 0)]
-                )
-            fake = run(
-                self.models.dnet, jnp.asarray(chunk),
-                jnp.transpose(cchunk, (0, 2, 1)),
-            )
-            fake = np.asarray(fake)[: batch - pad]
-            out[i : i + batch] = np.clip((fake + 1) / 2 * 255, 0, 255).astype(np.uint8)
-        return out
+        coeff_np = np.asarray(coeff)
+
+        def dispatch(i):
+            chunk = self._pad_chunk(src, i, batch)
+            cchunk = self._pad_chunk(coeff_np, i, batch)
+            return run(self.models.dnet, jnp.asarray(chunk),
+                       jnp.transpose(jnp.asarray(cchunk), (0, 2, 1)))
+
+        return np.concatenate(self._chunk_sweep(dispatch, n, batch))
 
     # ------------------------------------------------------------------
     # Step 6: synthesis
@@ -361,20 +407,25 @@ class LipSyncPipeline:
         return self._jits["enet"]
 
     def build_reference_faces(self, stabilized: np.ndarray,
-                              full_frames: np.ndarray,
-                              coordinates, boxes: np.ndarray) -> np.ndarray:
+                              full_frames, coordinates,
+                              boxes: np.ndarray) -> jnp.ndarray:
         """datagen's reference construction (inference.py:341-367):
         re-align each stabilized 256^2 face, paste into the full frame via
         the inverse perspective transform, then cut the detector box.
 
-        TPU-first: the per-frame geometry (quads, homography solves, sample
-        grids) is tiny numpy; all image resampling runs as THREE batched
-        device programs over the whole clip (QUAD warp, perspective paste,
-        box crop-resize) instead of the reference's per-frame PIL/cv2 loop.
+        TPU-first: the host only solves the per-frame quad/homography (8
+        floats each); grid construction, the QUAD warp, perspective paste,
+        full-frame composite and box crop run as ONE device program over the
+        whole clip. ``full_frames`` may be a device-resident uint8 array —
+        the clip then never re-crosses the host link, and the returned refs
+        stay on device for Step 6.
 
-        Returns [N, img_size, img_size, 3] float reference crops.
+        Returns [N, img_size, img_size, 3] float32 device array (0..255).
         """
         from s2v_tpu.ops.warp import crop_resize_boxes
+        from s2v_tpu.pipeline.align import (
+            perspective_grids_batched, quad_grids_batched,
+        )
 
         n = len(stabilized)
         oy1, oy2, ox1, ox2 = [int(v) for v in coordinates]
@@ -384,9 +435,9 @@ class LipSyncPipeline:
         square = [[0, 0], [0, image_size], [image_size, image_size],
                   [image_size, 0]]
 
-        # per-frame geometry on host (floats only)
-        quad_grids = np.zeros((n, image_size, image_size, 2), np.float32)
-        pgrids = np.zeros((n, image_size, image_size, 2), np.float32)
+        # per-frame geometry on host: 4 quad corners + 8 perspective coeffs
+        quads = np.zeros((n, 4, 2), np.float32)
+        pcoeffs = np.zeros((n, 8), np.float32)
         for i in range(n):
             c, x, y = compute_transform(lms[i].astype(np.float64), scale=1.0)
             quad = quad_from_cxy(c, x, y)
@@ -396,46 +447,39 @@ class LipSyncPipeline:
             # QUAD warp sampled from the FULL stabilized frame (crop offset
             # folded into the quad) — one batched gather later
             quad_full = quad_adj + np.asarray(crop_box[:2], np.float64)
-            quad_grids[i] = quad_sample_grid(
-                quad_full, image_size, stabilized.shape[1:3]
-            )
-            inv = calc_alignment_coefficients(quad_full, square)
-            pgrids[i] = perspective_sample_grid(
-                inv, (image_size, image_size), (image_size, image_size)
-            )
+            quads[i] = quad_full
+            pcoeffs[i] = calc_alignment_coefficients(quad_full, square)
 
-        if "ref_faces" not in self._jits:
+        key = ("ref_all", oy1, oy2, ox1, ox2)
+        if key not in self._jits:
             @jax.jit
-            def ref_faces(stab, quad_grids, pgrids, region):
-                crops = warp_by_grid(stab, quad_grids)  # [N,256,256,3]
+            def ref_all(stab_u8, full_u8, quads, pcoeffs, boxes):
+                stab = stab_u8.astype(jnp.float32)
+                qg = quad_grids_batched(quads, image_size, stab.shape[1:3])
+                pg = perspective_grids_batched(
+                    pcoeffs, (image_size, image_size),
+                    (image_size, image_size))
+                crops = warp_by_grid(stab, qg)  # [N,256,256,3]
+                ff = full_u8.astype(jnp.float32)
+                region = ff[:, oy1:oy2, ox1:ox2]
                 region_256 = resize_bilinear(region, (256, 256))
-                projected = warp_by_grid(crops, pgrids)
+                projected = warp_by_grid(crops, pg)
                 mask = warp_by_grid(
-                    jnp.ones(crops.shape[:3] + (1,), jnp.float32), pgrids)
+                    jnp.ones(crops.shape[:3] + (1,), jnp.float32), pg)
                 pasted = projected * mask + region_256 * (1 - mask)
-                return jnp.clip(
+                back = jnp.clip(
                     resize_bilinear(pasted, region.shape[1:3]), 0, 255)
-
-            @jax.jit
-            def box_crops(ff, boxes):
+                ff = ff.at[:, oy1:oy2, ox1:ox2].set(back)
                 return jnp.clip(
                     crop_resize_boxes(ff, boxes, (img_size, img_size)), 0, 255)
 
-            self._jits["ref_faces"] = ref_faces
-            self._jits["ref_box_crops"] = box_crops
+            self._jits[key] = ref_all
 
-        region = full_frames[:n, oy1:oy2, ox1:ox2].astype(np.float32)
-        back = np.asarray(self._jits["ref_faces"](
-            jnp.asarray(stabilized.astype(np.float32)),
-            jnp.asarray(quad_grids), jnp.asarray(pgrids),
-            jnp.asarray(region),
-        ))
-
-        ff = full_frames[:n].astype(np.float32).copy()
-        ff[:, oy1:oy2, ox1:ox2] = back
-        return np.asarray(self._jits["ref_box_crops"](
-            jnp.asarray(ff), jnp.asarray(boxes[:, [0, 1, 2, 3]].astype(np.float32))
-        ))
+        return self._jits[key](
+            jnp.asarray(stabilized), jnp.asarray(full_frames),
+            jnp.asarray(quads), jnp.asarray(pcoeffs),
+            jnp.asarray(boxes[:, [0, 1, 2, 3]].astype(np.float32)),
+        )
 
     def synthesize(
         self,
@@ -445,6 +489,7 @@ class LipSyncPipeline:
         coordinates,                  # (oy1, oy2, ox1, ox2)
         fps: float,
         static: bool = False,
+        boxes_full: Optional[np.ndarray] = None,  # Step-1 S3FD boxes (reuse)
     ) -> np.ndarray:
         """Step 6 (inference.py:259-330, restoration hooks optional)."""
         self._require("enet")
@@ -453,7 +498,7 @@ class LipSyncPipeline:
         n_chunks = num_mel_chunks(mel.shape[1], fps)
         n_frames = min(len(stabilized), n_chunks)
         stabilized = stabilized[:n_frames]
-        full_frames_t = full_frames[:n_frames]
+        full_frames_t = np.ascontiguousarray(full_frames[:n_frames])
         chunks = np.asarray(mel_chunks_for_frames(mel, n_chunks, fps))
 
         if cfg.infer.box[0] != -1:
@@ -465,17 +510,24 @@ class LipSyncPipeline:
                 [max(bx1, 0), max(by1, 0), min(bx2, fw), min(by2, fh)],
                 np.int32), (n_frames, 1))
         else:
-            boxes = self.detect_boxes(full_frames_t)
+            if boxes_full is None:
+                # no Step-1 boxes supplied (precomputed-landmark paths) —
+                # the reference re-detects here (inference.py:379 datagen)
+                boxes_full = self.detect_boxes(full_frames_t)
             boxes = np.asarray(
                 pad_and_smooth_boxes(
-                    jnp.asarray(boxes), full_frames_t.shape[1:3],
+                    jnp.asarray(boxes_full[:n_frames]),
+                    full_frames_t.shape[1:3],
                     pads=cfg.infer.pads, smooth=not cfg.infer.nosmooth,
                 )
             ).astype(np.int32)
 
+        # the clip crosses the host->device link ONCE as uint8; every Step-6
+        # program indexes the device-resident copy
+        full_dev = jnp.asarray(full_frames_t)
         refs = self.build_reference_faces(
-            stabilized, full_frames_t, coordinates, boxes
-        )
+            stabilized, full_dev, coordinates, boxes
+        )  # device-resident [N, img, img, 3] f32
 
         # frame index for each mel chunk: ping-pong past the end
         # (inference.py:369-377 mirrors once; generalized to a periodic
@@ -497,35 +549,43 @@ class LipSyncPipeline:
             def prep(frames_b, boxes_b, refs_b):
                 # batched box crops + lower-half mask + concat as one device
                 # program (inference.py:383-399 datagen equivalent)
-                ofaces = crop_resize_boxes(frames_b, boxes_b,
-                                           (img_size, img_size)) / 255.0
+                ofaces = crop_resize_boxes(
+                    frames_b.astype(jnp.float32), boxes_b,
+                    (img_size, img_size)) / 255.0
                 masked = ofaces.at[:, img_size // 2 :].set(0.0)
                 ref_b = refs_b / 255.0
                 return ofaces, jnp.concatenate([masked, ref_b], axis=-1), ref_b
 
             self._jits["prep"] = prep
             # the batched resize + paste-back (the reference's per-frame
-            # cv2.resize + slice assignment, inference.py:316-330)
+            # cv2.resize + slice assignment, inference.py:316-330); uint8
+            # output so the composited frames cross the link at 1 byte/px
             self._jits["paste"] = jax.jit(
-                lambda fr, pr, bx: paste_resize_boxes(fr, pr, bx))
+                lambda fr, pr, bx: jnp.clip(
+                    paste_resize_boxes(fr.astype(jnp.float32), pr, bx),
+                    0, 255).astype(jnp.uint8))
         prep = self._jits["prep"]
+
+        boxes_dev = jnp.asarray(boxes.astype(np.float32))
 
         def assemble(start):
             idxs = [frame_index(i)
                     for i in range(start, min(start + batch, n_chunks))]
-            padded = idxs + [idxs[-1]] * (batch - len(idxs))
+            padded = jnp.asarray(idxs + [idxs[-1]] * (batch - len(idxs)))
+            # index the device-resident clip/refs — no host re-upload
             ofaces, face, ref_batch = prep(
-                jnp.asarray(full_frames_t[padded].astype(np.float32)),
-                jnp.asarray(boxes[padded]), jnp.asarray(refs[padded]),
+                full_dev[padded], boxes_dev[padded], refs[padded],
             )
             pred = run(
                 self.models.enet,
-                jnp.asarray(chunks[padded])[..., None],
+                jnp.asarray(chunks[np.asarray(padded)])[..., None],
                 face, ref_batch,
             )  # async: JAX dispatch returns immediately, device runs ahead
-            return idxs, face, ofaces, pred
+            pasted_dev = self._jits["paste"](
+                full_dev[padded], pred * 255.0, boxes_dev[padded])
+            return idxs, face, ofaces, pred, pasted_dev
 
-        def drain(idxs, face_np, orig, pred):
+        def drain(idxs, face_np, orig, pred, pasted_dev):
             # upper-face edit + masked composite (inference.py:269-286):
             # GANimation only takes effect through the --without_rl1 path
             if cfg.infer.without_rl1:
@@ -538,13 +598,15 @@ class LipSyncPipeline:
                     cur = orig
                 mask = (face_np[..., :3] == 0).astype(np.float32)
                 pred = pred * mask + cur * (1.0 - mask)
-
-            bsel = boxes[idxs]
-            pasted = np.asarray(self._jits["paste"](
-                jnp.asarray(full_frames_t[idxs].astype(np.float32)),
-                jnp.asarray(pred)[: len(idxs)] * 255.0,
-                jnp.asarray(bsel.astype(np.float32)),
-            ))  # sync point for THIS batch only
+                bsel = boxes[idxs]
+                pasted = np.asarray(self._jits["paste"](
+                    jnp.asarray(full_frames_t[idxs]),
+                    jnp.asarray(pred)[: len(idxs)] * 255.0,
+                    jnp.asarray(bsel.astype(np.float32)),
+                ))
+            else:
+                bsel = boxes[idxs]
+                pasted = np.asarray(pasted_dev)[: len(idxs)]  # u8 D2H
 
             # batched restoration tail: GFPGAN mouth restore + Laplacian
             # blend (inference.py:299-312), then GPEN-2048 + RealESRNet x2
@@ -614,10 +676,13 @@ class LipSyncPipeline:
         refresh = cfg.infer.re_preprocess
         crop_p = {"crop": cfg.infer.crop}
 
-        lm = cache.get_or_compute(
-            base, "landmarks", lambda: self.extract_landmarks(frames),
-            params=crop_p, refresh=refresh,
+        step_lm = cache.get_or_compute(
+            base, "landmarks",
+            lambda: dict(zip(("lm", "boxes"), self.extract_landmarks(
+                frames, return_boxes=True))),
+            params={**crop_p, "v": 2}, refresh=refresh,
         )
+        lm, boxes_full = step_lm["lm"], step_lm["boxes"]
         step1 = cache.get_or_compute(
             base, "ffhq",
             lambda: dict(zip(("frames", "coords"),
@@ -657,7 +722,7 @@ class LipSyncPipeline:
             )
 
         out = self.synthesize(stabilized, mel, frames, coordinates, fps,
-                              static=cfg.infer.static)
+                              static=cfg.infer.static, boxes_full=boxes_full)
 
         tmp_video = os.path.join(cfg.infer.tmp_dir, "result.npz")
         os.makedirs(cfg.infer.tmp_dir, exist_ok=True)

@@ -69,7 +69,8 @@ class GFPGANRestorer:
 
         @jax.jit
         def detect(variables, frames_rgb):
-            bgr = frames_rgb[..., ::-1] - jnp.asarray(RETINA_MEAN)
+            x = frames_rgb.astype(jnp.float32)
+            bgr = x[..., ::-1] - jnp.asarray(RETINA_MEAN)
             return detect_faces(retina.apply(variables, bgr),
                                 frames_rgb.shape[1:3], threshold)
 
@@ -77,9 +78,11 @@ class GFPGANRestorer:
         dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
 
         @jax.jit
-        def restore_paste(variables, frames, tfms, tfm_invs, valid):
+        def restore_paste(variables, frames_in, tfms, tfm_invs, valid):
             """Align to the template crop, GFPGAN (bf16 compute),
-            inverse-paste (utils.py:97-143) — one program per frame chunk."""
+            inverse-paste (utils.py:97-143) — one program per frame chunk.
+            uint8 in / uint8 out: frames cross the relay at 1 byte/px."""
+            frames = frames_in.astype(jnp.float32)
             face = affine_warp(frames, tfms, (s, s))
             x = ((face / 255.0 - 0.5) / 0.5).astype(dt)
             out = gfpgan.apply(variables, x, deterministic=True)
@@ -95,7 +98,7 @@ class GFPGANRestorer:
             )
             out = pasted * mask + frames * (1.0 - mask)
             out = jnp.where(valid[:, None, None, None], out, frames)
-            return jnp.clip(out, 0.0, 255.0)
+            return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
         self._detect = detect
         self._restore_paste = restore_paste
@@ -118,11 +121,15 @@ class GFPGANRestorer:
         return tfms, tfm_invs
 
     def enhance_batch(self, frames_rgb: np.ndarray) -> np.ndarray:
-        """[N,H,W,3] uint8/float -> restored uint8 frames, batched."""
+        """[N,H,W,3] uint8/float -> restored uint8 frames, batched.
+
+        Two async phases: ALL detection chunks are dispatched before any
+        result is read back (transfers overlap compute), the host solves the
+        per-frame umeyama, then all restore programs are dispatched."""
         n = len(frames_rgb)
-        x = frames_rgb.astype(np.float32)
+        x = np.ascontiguousarray(np.clip(frames_rgb, 0, 255).astype(np.uint8))
         k = min(self.chunk, n)
-        out = np.zeros((n, *x.shape[1:]), np.uint8)
+        slices, chunks_dev, det_pending = [], [], []
         for i in range(0, n, k):
             sl = slice(i, min(i + k, n))
             c = x[sl]
@@ -130,14 +137,24 @@ class GFPGANRestorer:
             if pad:
                 c = np.concatenate([c, np.repeat(c[-1:], pad, 0)])
             cj = jnp.asarray(c)
-            boxes, landms, valid = self._detect(self.models["retinaface"], cj)
+            slices.append((sl, pad))
+            chunks_dev.append(cj)
+            det_pending.append(
+                self._detect(self.models["retinaface"], cj))
+
+        res_pending = []
+        for (sl, pad), cj, det in zip(slices, chunks_dev, det_pending):
+            boxes, landms, valid = det
             tfms, tfm_invs = self._transforms(
                 np.asarray(landms), np.asarray(valid))
-            res = self._restore_paste(
+            res_pending.append(self._restore_paste(
                 self.models["gfpgan"], cj, jnp.asarray(tfms),
                 jnp.asarray(tfm_invs), valid,
-            )
-            out[sl] = np.asarray(res)[: k - pad].astype(np.uint8)
+            ))
+
+        out = np.zeros((n, *x.shape[1:]), np.uint8)
+        for (sl, pad), res in zip(slices, res_pending):
+            out[sl] = np.asarray(res)[: k - pad]
         return out
 
     def enhance(self, frame_rgb: np.ndarray) -> np.ndarray:
@@ -171,6 +188,8 @@ def make_mouth_restorer(models: Dict, chunk: int = 8) -> Optional[Callable]:
         pasted into a zero canvas, then the 10-level 512^2 Laplacian blend of
         restored over the original (inference.py:310-312).
         """
+        restored = restored.astype(jnp.float32)
+        ff = ff.astype(jnp.float32)
         b, h, w, _ = ff.shape
         crop512 = crop_resize_boxes(restored, boxes, (512, 512))
         logits, _ = parser.apply(variables, crop512 / 255.0 * 2.0 - 1.0)
@@ -182,28 +201,31 @@ def make_mouth_restorer(models: Dict, chunk: int = 8) -> Optional[Callable]:
         f512 = resize_bilinear(ff, (512, 512))
         m512 = resize_bilinear(mouse_mask, (512, 512))
         blended = laplacian_pyramid_blend(r512, f512, m512, num_levels=10)
-        return resize_bilinear(jnp.clip(blended, 0.0, 255.0), (h, w))
+        out = resize_bilinear(jnp.clip(blended, 0.0, 255.0), (h, w))
+        return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
     def hook(frames: np.ndarray, boxes: np.ndarray) -> np.ndarray:
-        """frames [B,H,W,3] float 0..255; boxes [B,4] (x1,y1,x2,y2) int."""
-        restored = restorer.enhance_batch(
-            np.clip(frames, 0, 255).astype(np.uint8)
-        ).astype(np.float32)
+        """frames [B,H,W,3] uint8/float 0..255; boxes [B,4] (x1,y1,x2,y2)."""
+        frames_u8 = np.ascontiguousarray(
+            np.clip(frames, 0, 255).astype(np.uint8))
+        restored = restorer.enhance_batch(frames_u8)
         n = len(frames)
         k = min(chunk, n)
         boxes = np.asarray(boxes, np.float32)
-        out = np.zeros_like(frames, dtype=np.float32)
+        pending = []
         for i in range(0, n, k):
             sl = slice(i, min(i + k, n))
             pad = k - (sl.stop - sl.start)
             ix = lambda a: np.concatenate(
                 [a[sl], np.repeat(a[sl.stop - 1 : sl.stop], pad, 0)]
             ) if pad else a[sl]
-            res = mouth_blend(
+            pending.append((sl, mouth_blend(
                 models["parsenet"], jnp.asarray(ix(restored)),
-                jnp.asarray(ix(frames.astype(np.float32))),
+                jnp.asarray(ix(frames_u8)),
                 jnp.asarray(ix(boxes)),
-            )
+            )))
+        out = np.zeros_like(frames_u8)
+        for sl, res in pending:
             out[sl] = np.asarray(res)[: sl.stop - sl.start]
         return out
 

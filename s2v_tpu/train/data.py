@@ -52,7 +52,7 @@ def build_enet_batches(
             (img_size, img_size),
         )
     ) / 255.0
-    refs = refs[:n] / 255.0
+    refs = np.asarray(refs)[:n] / 255.0
     masked = ofaces.copy()
     masked[:, img_size // 2:] = 0
     faces = np.concatenate([masked, refs], axis=-1)

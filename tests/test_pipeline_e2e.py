@@ -82,17 +82,18 @@ def pipeline():
 
     lm_by_shape = {}
 
-    def fake_landmarks(frames, batch=8):
-        key = frames.shape[1:3]
-        if key not in lm_by_shape:
-            lm_by_shape[key] = synthetic_landmarks(0, *key)
-        return synthetic_landmarks(len(frames), key[0], key[1])
-
     def fake_boxes(frames, batch=8):
         h, w = frames.shape[1:3]
         cx, cy, s = w / 2, h / 2, min(h, w) * 0.3
         box = np.asarray([cx - s, cy - s, cx + s, cy + s], np.float32)
         return np.tile(box, (len(frames), 1))
+
+    def fake_landmarks(frames, batch=8, return_boxes=False):
+        key = frames.shape[1:3]
+        if key not in lm_by_shape:
+            lm_by_shape[key] = synthetic_landmarks(0, *key)
+        lms = synthetic_landmarks(len(frames), key[0], key[1])
+        return (lms, fake_boxes(frames)) if return_boxes else lms
 
     pipe.extract_landmarks = fake_landmarks
     pipe.detect_boxes = fake_boxes

@@ -251,15 +251,17 @@ def pipeline_output_metrics():
 
     from bench import _synthetic_landmarks
 
-    pipe.extract_landmarks = lambda fr, batch=8: _synthetic_landmarks(
-        len(fr), fr.shape[1], fr.shape[2])
-
     def boxes(fr, batch=8):
         hh, ww = fr.shape[1], fr.shape[2]
         cx, cy, s = ww / 2, hh / 2, min(hh, ww) * 0.3
         return np.tile(np.asarray([cx - s, cy - s, cx + s, cy + s],
                                   np.float32), (len(fr), 1))
 
+    def landmarks(fr, batch=8, return_boxes=False):
+        lms = _synthetic_landmarks(len(fr), fr.shape[1], fr.shape[2])
+        return (lms, boxes(fr)) if return_boxes else lms
+
+    pipe.extract_landmarks = landmarks
     pipe.detect_boxes = boxes
     out_path = pipe.run("/tmp/parity_clip.npz", "/tmp/parity_speech.wav",
                         "/tmp/parity_out.npz")
