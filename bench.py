@@ -169,7 +169,7 @@ def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
     }
     gpen512 = _fill_variables(FullGenerator(size=512).init, z((1, 512, 512, 3)))
     enhancer = FaceEnhancer(
-        {**aux, "facegan": gpen512}, in_size=512, chunk=8)
+        {**aux, "facegan": gpen512}, in_size=512, chunk=16)
     tfm1 = np.asarray([[[2.0, 0.0, -hw * 0.25], [0.0, 2.0, -hw * 0.25]]],
                       np.float32)
     inv1 = np.asarray([[[0.5, 0.0, hw * 0.125], [0.0, 0.5, hw * 0.125]]],
@@ -189,13 +189,13 @@ def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
         frames, face_enhance=False)
 
     gfp = _fill_variables(GFPGANv1Clean().init, z((1, 512, 512, 3)))
-    restorer = R.GFPGANRestorer({**aux, "gfpgan": gfp}, chunk=8)
+    restorer = R.GFPGANRestorer({**aux, "gfpgan": gfp}, chunk=16)
     restorer._transforms = lambda l, v: (fixed_tfms(len(l)),
                                          fixed_inv(len(l)))
     orig_cls = R.GFPGANRestorer
     R.GFPGANRestorer = lambda m, arch, chunk: restorer
     try:
-        mouth = R.make_mouth_restorer({**aux, "gfpgan": gfp}, chunk=8)
+        mouth = R.make_mouth_restorer({**aux, "gfpgan": gfp}, chunk=16)
     finally:
         R.GFPGANRestorer = orig_cls
     models.mouth_restorer = mouth

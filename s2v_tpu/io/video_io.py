@@ -118,7 +118,10 @@ class VideoWriter:
             if not path.endswith((".npy", ".npz")):
                 path = path + ".npz"
             os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            np.savez_compressed(path, frames=np.stack(self._frames), fps=self.fps)
+            # uncompressed: zlib on a full clip costs seconds of single-core
+            # host time in the write path (the codec-backed branch above is
+            # the real product writer; .npz is the headless surrogate)
+            np.savez(path, frames=np.stack(self._frames), fps=self.fps)
             self.path = path
 
 

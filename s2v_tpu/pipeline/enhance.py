@@ -198,7 +198,7 @@ class FaceEnhancer:
         self.sr_scale = sr_scale
         self.threshold = threshold
         # 2048^2 GPEN crops are ~50 MB each; keep per-program batches small
-        self.chunk = chunk if chunk is not None else (1 if in_size >= 1024 else 8)
+        self.chunk = chunk if chunk is not None else (1 if in_size >= 1024 else 16)
         self.reference_5pts = get_reference_facial_points(
             (in_size, in_size), 0.25, (0, 0), True
         )

@@ -606,7 +606,12 @@ class LipSyncPipeline:
                 ))
             else:
                 bsel = boxes[idxs]
-                pasted = np.asarray(pasted_dev)[: len(idxs)]  # u8 D2H
+                if self.models.mouth_restorer is not None:
+                    # keep the composited frames on device — the mouth tail
+                    # chains GFPGAN/ParseNet/blend programs on them directly
+                    pasted = pasted_dev[: len(idxs)]
+                else:
+                    pasted = np.asarray(pasted_dev)[: len(idxs)]  # u8 D2H
 
             # batched restoration tail: GFPGAN mouth restore + Laplacian
             # blend (inference.py:299-312), then GPEN-2048 + RealESRNet x2

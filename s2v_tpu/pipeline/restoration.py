@@ -47,7 +47,7 @@ class GFPGANRestorer:
     """GFPGANer equivalent. models: {'retinaface', 'gfpgan'} flax vars."""
 
     def __init__(self, models: Dict, threshold: float = 0.9,
-                 arch: str = "clean", chunk: int = 8, size: int = 512,
+                 arch: str = "clean", chunk: int = 16, size: int = 512,
                  gfpgan_kwargs: Optional[Dict] = None,
                  dtype: str = "bfloat16"):
         from s2v_tpu.models.gfpgan import GFPGANv1, GFPGANv1Clean
@@ -120,27 +120,33 @@ class GFPGANRestorer:
                 np.vstack([params[:2], [0, 0, 1]]))[:2]
         return tfms, tfm_invs
 
-    def enhance_batch(self, frames_rgb: np.ndarray) -> np.ndarray:
-        """[N,H,W,3] uint8/float -> restored uint8 frames, batched.
+    def enhance_batch(self, frames_rgb, device_out: bool = False):
+        """[N,H,W,3] uint8/float (host or device-resident uint8) -> restored
+        uint8 frames, batched.
 
         Two async phases: ALL detection chunks are dispatched before any
         result is read back (transfers overlap compute), the host solves the
-        per-frame umeyama, then all restore programs are dispatched."""
+        per-frame umeyama, then all restore programs are dispatched. With
+        ``device_out`` the result stays on device (one [N,...] array) for
+        callers that keep chaining programs."""
         n = len(frames_rgb)
-        x = np.ascontiguousarray(np.clip(frames_rgb, 0, 255).astype(np.uint8))
+        if isinstance(frames_rgb, np.ndarray):
+            x = jnp.asarray(np.ascontiguousarray(
+                np.clip(frames_rgb, 0, 255).astype(np.uint8)))
+        else:
+            x = frames_rgb.astype(jnp.uint8)
         k = min(self.chunk, n)
         slices, chunks_dev, det_pending = [], [], []
         for i in range(0, n, k):
             sl = slice(i, min(i + k, n))
             c = x[sl]
-            pad = k - len(c)
+            pad = k - (sl.stop - sl.start)
             if pad:
-                c = np.concatenate([c, np.repeat(c[-1:], pad, 0)])
-            cj = jnp.asarray(c)
+                c = jnp.concatenate([c, jnp.repeat(c[-1:], pad, 0)])
             slices.append((sl, pad))
-            chunks_dev.append(cj)
+            chunks_dev.append(c)
             det_pending.append(
-                self._detect(self.models["retinaface"], cj))
+                self._detect(self.models["retinaface"], c))
 
         res_pending = []
         for (sl, pad), cj, det in zip(slices, chunks_dev, det_pending):
@@ -152,6 +158,9 @@ class GFPGANRestorer:
                 jnp.asarray(tfm_invs), valid,
             ))
 
+        if device_out:
+            return jnp.concatenate(
+                [r[: k - pad] for (sl, pad), r in zip(slices, res_pending)])
         out = np.zeros((n, *x.shape[1:]), np.uint8)
         for (sl, pad), res in zip(slices, res_pending):
             out[sl] = np.asarray(res)[: k - pad]
@@ -162,7 +171,7 @@ class GFPGANRestorer:
         return self.enhance_batch(frame_rgb[None])[0]
 
 
-def make_mouth_restorer(models: Dict, chunk: int = 8) -> Optional[Callable]:
+def make_mouth_restorer(models: Dict, chunk: int = 16) -> Optional[Callable]:
     """The reference's Step-6 per-frame tail (inference.py:299-312), batched.
 
     models needs 'retinaface' + 'gfpgan' + 'parsenet'. Returns
@@ -204,27 +213,31 @@ def make_mouth_restorer(models: Dict, chunk: int = 8) -> Optional[Callable]:
         out = resize_bilinear(jnp.clip(blended, 0.0, 255.0), (h, w))
         return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
-    def hook(frames: np.ndarray, boxes: np.ndarray) -> np.ndarray:
-        """frames [B,H,W,3] uint8/float 0..255; boxes [B,4] (x1,y1,x2,y2)."""
-        frames_u8 = np.ascontiguousarray(
-            np.clip(frames, 0, 255).astype(np.uint8))
-        restored = restorer.enhance_batch(frames_u8)
+    def hook(frames, boxes: np.ndarray) -> np.ndarray:
+        """frames [B,H,W,3] uint8/float 0..255 (host or device-resident);
+        boxes [B,4] (x1,y1,x2,y2). The whole tail — GFPGAN restore, ParseNet
+        mouth mask, Laplacian blend — chains on device; the blended frames
+        cross the link once, as uint8."""
+        if isinstance(frames, np.ndarray):
+            frames_u8 = jnp.asarray(np.ascontiguousarray(
+                np.clip(frames, 0, 255).astype(np.uint8)))
+        else:
+            frames_u8 = frames.astype(jnp.uint8)
+        restored = restorer.enhance_batch(frames_u8, device_out=True)
         n = len(frames)
         k = min(chunk, n)
-        boxes = np.asarray(boxes, np.float32)
+        boxes_d = jnp.asarray(np.asarray(boxes, np.float32))
         pending = []
         for i in range(0, n, k):
             sl = slice(i, min(i + k, n))
             pad = k - (sl.stop - sl.start)
-            ix = lambda a: np.concatenate(
-                [a[sl], np.repeat(a[sl.stop - 1 : sl.stop], pad, 0)]
+            ix = lambda a: jnp.concatenate(
+                [a[sl], jnp.repeat(a[sl.stop - 1 : sl.stop], pad, 0)]
             ) if pad else a[sl]
             pending.append((sl, mouth_blend(
-                models["parsenet"], jnp.asarray(ix(restored)),
-                jnp.asarray(ix(frames_u8)),
-                jnp.asarray(ix(boxes)),
+                models["parsenet"], ix(restored), ix(frames_u8), ix(boxes_d),
             )))
-        out = np.zeros_like(frames_u8)
+        out = np.zeros((n, *frames_u8.shape[1:]), np.uint8)
         for sl, res in pending:
             out[sl] = np.asarray(res)[: sl.stop - sl.start]
         return out
