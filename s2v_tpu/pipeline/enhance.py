@@ -119,6 +119,48 @@ def umeyama_with_scale(src: np.ndarray, dst: np.ndarray,
     return t, sc
 
 
+def umeyama_similarity_batched(src: jnp.ndarray, dst: jnp.ndarray,
+                               estimate_scale: bool = True,
+                               scale: Optional[jnp.ndarray] = None):
+    """Batched device-side umeyama similarity solve: src [B,P,2] ->
+    dst [B,P,2] (or [P,2], broadcast). Returns (tfm [B,2,3], scale [B]).
+
+    TPU-first: for the 2D similarity case the SVD in skimage's _umeyama
+    collapses to a closed form — the optimal rotation is the special
+    orthogonal polar factor of A = dst_d^T src_d / P, i.e.
+    theta = atan2(A10 - A01, A00 + A11), and S.d = hypot of the same two
+    terms — so the whole solve is a handful of fused elementwise ops and
+    the detect -> align -> enhance chain compiles into ONE program with no
+    host round-trip (the reference solves per-frame on CPU,
+    align_faces.py:210-267). Matches umeyama_with_scale for every
+    non-degenerate input, including the det<0 reflection branch.
+    """
+    if dst.ndim == 2:
+        dst = jnp.broadcast_to(dst[None], src.shape)
+    p = src.shape[1]
+    sm = src.mean(axis=1)
+    dm = dst.mean(axis=1)
+    sd = src - sm[:, None]
+    dd = dst - dm[:, None]
+    a = jnp.einsum("bpi,bpj->bij", dd, sd) / p
+    num = a[:, 1, 0] - a[:, 0, 1]
+    den = a[:, 0, 0] + a[:, 1, 1]
+    theta = jnp.arctan2(num, den)
+    cs, sn = jnp.cos(theta), jnp.sin(theta)
+    rot = jnp.stack(
+        [jnp.stack([cs, -sn], -1), jnp.stack([sn, cs], -1)], axis=1
+    )  # [B, 2, 2]
+    if estimate_scale:
+        src_var = jnp.mean(jnp.sum(sd * sd, axis=-1), axis=1)
+        sc = jnp.hypot(den, num) / jnp.maximum(src_var, 1e-12)
+    else:
+        sc = (jnp.ones_like(den) if scale is None
+              else jnp.broadcast_to(scale, den.shape))
+    rs = rot * sc[:, None, None]
+    t = dm - jnp.einsum("bij,bj->bi", rs, sm)
+    return jnp.concatenate([rs, t[:, :, None]], axis=-1), sc
+
+
 def warp_and_crop_transforms(facial5: np.ndarray, reference_pts: np.ndarray):
     """align_faces.py:210-267 'smilarity' path: (tfm [2,3], tfm_inv [2,3])."""
     params, scale = umeyama_with_scale(facial5, reference_pts, True)
@@ -302,6 +344,42 @@ class FaceEnhancer:
             out = jnp.where(valid[:, None, None, None], out, ori)
             return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
+        ref5 = jnp.asarray(self.reference_5pts)
+
+        @functools.partial(jax.jit, static_argnums=(0, 1))
+        def enhance_full(do_enhance, mode, vars_retina, vars_gan, vars_parse,
+                         fc_u8, ori_u8, mb):
+            """The whole per-chunk chain — detect, closed-form device
+            umeyama (umeyama_similarity_batched), warp, GAN, parse, paste,
+            composite — as ONE program with no host round-trip. ``mode`` is
+            a static string: 'sr' | 'possion' | 'default'. Invalid frames
+            fall through to ``ori`` exactly like the host path (identity
+            transforms there, jnp.where here)."""
+            x = fc_u8.astype(jnp.float32)
+            bgr = x[..., ::-1] - jnp.asarray(RETINA_MEAN)
+            boxes, landms, valid = detect_faces(
+                retina.apply(vars_retina, bgr), fc_u8.shape[1:3], threshold)
+            tfms, _ = umeyama_similarity_batched(landms, ref5)
+            small = jnp.minimum(boxes[:, 2] - boxes[:, 0],
+                                boxes[:, 3] - boxes[:, 1]) < 100
+            ef, tmp_mask, ms512 = faces_and_masks(
+                vars_gan, vars_parse, fc_u8, tfms, small, do_enhance)
+            hw = fc_u8.shape[1:3]
+            # tfm maps frame->crop; inverse=True makes it the paste warp
+            tmp_img = affine_warp(ef.astype(jnp.float32), tfms, hw,
+                                  inverse=True)
+            full_mask = affine_warp(tmp_mask, tfms, hw, inverse=True)
+            ms = resize_bilinear(ms512, (s, s))
+            mask_sharp_w = gaussian_blur(
+                affine_warp(ms, tfms, hw, inverse=True), 9, 1.0)
+            if mode == "sr":
+                return composite_sr(ori_u8, tmp_img, full_mask, valid)
+            if mode == "possion":
+                return composite_laplacian(
+                    ori_u8, tmp_img, mask_sharp_w * mb, valid)
+            return composite_default(
+                ori_u8, tmp_img, full_mask, mask_sharp_w, valid)
+
         self._detect = detect
         self._sr = sr
         self._up2 = {}
@@ -310,6 +388,7 @@ class FaceEnhancer:
         self._composite_sr = composite_sr
         self._composite_default = composite_default
         self._composite_laplacian = composite_laplacian
+        self._enhance_full = enhance_full
 
     # ------------------------------------------------------------------
 
@@ -370,8 +449,45 @@ class FaceEnhancer:
         else:
             img_sr = None
 
-        # phase 1: dispatch ALL detection chunks asynchronously, then read
-        # back — host->device transfers overlap device compute
+        ori = x if ori_frames is None else np.ascontiguousarray(
+            np.clip(ori_frames, 0, 255).astype(np.uint8))
+
+        if "_transforms" not in self.__dict__:
+            # fused path: detect + device umeyama + enhance + composite as
+            # one program per chunk, all chunks dispatched asynchronously
+            mode = ("sr" if self.use_sr
+                    else "possion" if possion_blending else "default")
+            k = min(self.chunk, n)
+            pending = []
+            for i in range(0, n, k):
+                sl = slice(i, min(i + k, n))
+                pad = k - (sl.stop - sl.start)
+                ix = lambda a: np.concatenate(
+                    [a[sl], np.repeat(a[sl.stop - 1 : sl.stop], pad, 0)]
+                ) if pad else a[sl]
+                if mode == "possion" and bboxes is not None:
+                    bb = ix(np.asarray(bboxes))
+                    mb = np.zeros((k, *ori.shape[1:3], 1), np.float32)
+                    for j in range(k):
+                        y1, y2, x1, x2 = [int(t) for t in bb[j]]
+                        mb[j, y1 : max(y2 - 5, y1), x1:x2] = 1.0
+                else:
+                    mb = np.ones((1, 1, 1, 1), np.float32)
+                ori_c = ix(np.asarray(img_sr)) if self.use_sr else ix(ori)
+                pending.append((sl, self._enhance_full(
+                    bool(face_enhance), mode, self.models["retinaface"],
+                    self.models["facegan"], self.models["parsenet"],
+                    jnp.asarray(ix(x)), jnp.asarray(ori_c), jnp.asarray(mb),
+                )))
+            out = np.zeros(
+                (n, *(img_sr.shape[1:3] if self.use_sr else ori.shape[1:3]),
+                 3), np.uint8)
+            for sl, res in pending:
+                out[sl] = np.asarray(res)[: sl.stop - sl.start]
+            return out
+
+        # harness-supplied transform solver: two async phases with the host
+        # solve in between
         dk = min(max(self.chunk, 4), n)
         det = []
         for i in range(0, n, dk):
@@ -386,8 +502,6 @@ class FaceEnhancer:
         valid = np.concatenate([np.asarray(v)[: dk - p] for p, (b, l, v) in det])
 
         tfms, tfm_invs, small = self._transforms(landms, boxes, valid)
-        ori = x if ori_frames is None else np.ascontiguousarray(
-            np.clip(ori_frames, 0, 255).astype(np.uint8))
 
         # phase 2: dispatch every enhance/paste/composite chain, collect last
         k = min(self.chunk, n)

@@ -100,8 +100,44 @@ class GFPGANRestorer:
             out = jnp.where(valid[:, None, None, None], out, frames)
             return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
+        from s2v_tpu.pipeline.enhance import umeyama_similarity_batched
+
+        template_d = jnp.asarray(self.template)
+
+        @jax.jit
+        def restore_full(vars_retina, vars_gfpgan, frames_u8):
+            """Detect + umeyama align + GFPGAN + inverse paste as ONE
+            program — the alignment solve runs on-device (closed-form
+            similarity, enhance.umeyama_similarity_batched), so the chain
+            has no host sync between detection and restoration."""
+            frames = frames_u8.astype(jnp.float32)
+            bgr = frames[..., ::-1] - jnp.asarray(RETINA_MEAN)
+            boxes, landms, valid = detect_faces(
+                retina.apply(vars_retina, bgr), frames_u8.shape[1:3],
+                threshold)
+            tfms, _ = umeyama_similarity_batched(landms, template_d)
+            face = affine_warp(frames, tfms, (s, s))
+            x = ((face / 255.0 - 0.5) / 0.5).astype(dt)
+            out = gfpgan.apply(vars_gfpgan, x, deterministic=True)
+            if isinstance(out, tuple):
+                out = out[0]
+            restored = jnp.clip(
+                (out.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0) * 255.0
+            hw = frames.shape[1:3]
+            # tfm maps frame->crop: passing it with inverse=True IS the
+            # paste-back warp (no explicit 2x3 inversion needed)
+            pasted = affine_warp(restored, tfms, hw, inverse=True)
+            mask = affine_warp(
+                jnp.ones((frames.shape[0], s, s, 1), jnp.float32),
+                tfms, hw, inverse=True,
+            )
+            out = pasted * mask + frames * (1.0 - mask)
+            out = jnp.where(valid[:, None, None, None], out, frames)
+            return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+
         self._detect = detect
         self._restore_paste = restore_paste
+        self._restore_full = restore_full
 
     def _transforms(self, landms: np.ndarray, valid: np.ndarray):
         n = len(landms)
@@ -136,7 +172,7 @@ class GFPGANRestorer:
         else:
             x = frames_rgb.astype(jnp.uint8)
         k = min(self.chunk, n)
-        slices, chunks_dev, det_pending = [], [], []
+        slices, chunks_dev = [], []
         for i in range(0, n, k):
             sl = slice(i, min(i + k, n))
             c = x[sl]
@@ -145,18 +181,26 @@ class GFPGANRestorer:
                 c = jnp.concatenate([c, jnp.repeat(c[-1:], pad, 0)])
             slices.append((sl, pad))
             chunks_dev.append(c)
-            det_pending.append(
-                self._detect(self.models["retinaface"], c))
 
-        res_pending = []
-        for (sl, pad), cj, det in zip(slices, chunks_dev, det_pending):
-            boxes, landms, valid = det
-            tfms, tfm_invs = self._transforms(
-                np.asarray(landms), np.asarray(valid))
-            res_pending.append(self._restore_paste(
-                self.models["gfpgan"], cj, jnp.asarray(tfms),
-                jnp.asarray(tfm_invs), valid,
-            ))
+        if "_transforms" not in self.__dict__:
+            # fused single-program path: detect + device umeyama + restore
+            res_pending = [self._restore_full(
+                self.models["retinaface"], self.models["gfpgan"], cj)
+                for cj in chunks_dev]
+        else:
+            # a harness supplied its own transform solver — two async
+            # phases with the host solve in between
+            det_pending = [self._detect(self.models["retinaface"], c)
+                           for c in chunks_dev]
+            res_pending = []
+            for (sl, pad), cj, det in zip(slices, chunks_dev, det_pending):
+                boxes, landms, valid = det
+                tfms, tfm_invs = self._transforms(
+                    np.asarray(landms), np.asarray(valid))
+                res_pending.append(self._restore_paste(
+                    self.models["gfpgan"], cj, jnp.asarray(tfms),
+                    jnp.asarray(tfm_invs), valid,
+                ))
 
         if device_out:
             return jnp.concatenate(
