@@ -169,7 +169,7 @@ def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
     }
     gpen512 = _fill_variables(FullGenerator(size=512).init, z((1, 512, 512, 3)))
     enhancer = FaceEnhancer(
-        {**aux, "facegan": gpen512}, in_size=512, chunk=16)
+        {**aux, "facegan": gpen512}, in_size=512, chunk=32)
     # Random weights give garbage detections, but the fused detect +
     # device-umeyama + enhance chain is static-shape end to end — garbage
     # geometry costs exactly what real geometry costs, so the REAL product
@@ -251,7 +251,7 @@ def bench_e2e(n_frames: int = None, hw: int = None, with_final: bool = False):
     rs = np.random.RandomState(7)
     frames = (rs.rand(n_frames, hw, hw, 3) * 255).astype(np.uint8)
     clip = os.path.join(workdir, "face.npz")
-    np.savez_compressed(clip, frames=frames, fps=25.0)
+    np.savez(clip, frames=frames, fps=25.0)  # uncompressed: fast re-read
     seconds = n_frames / 25.0
     t = np.arange(int(seconds * 16000)) / 16000.0
     pcm = (np.sin(2 * np.pi * 220 * t) * 0.4 * 32767).astype(np.int16)
@@ -281,6 +281,7 @@ def bench_e2e(n_frames: int = None, hw: int = None, with_final: bool = False):
     pipe.stabilize = timed("stabilize", pipe.stabilize)
     pipe.detect_boxes = timed("detect6", pipe.detect_boxes)
     pipe.build_reference_faces = timed("reffaces", pipe.build_reference_faces)
+    pipe.synthesize = timed("synth6_total", pipe.synthesize)
     if pipe.models.ref_enhancer is not None:
         pipe.models.ref_enhancer = timed("gpen512", pipe.models.ref_enhancer)
     if pipe.models.mouth_restorer is not None:

@@ -187,7 +187,7 @@ class LipSyncPipeline:
             chunk = np.concatenate([chunk, np.repeat(chunk[-1:], pad, 0)])
         return chunk
 
-    def detect_boxes(self, frames_rgb: np.ndarray, batch: int = 16) -> np.ndarray:
+    def detect_boxes(self, frames_rgb: np.ndarray, batch: int = 32) -> np.ndarray:
         """[N,H,W,3] uint8 RGB -> [N,4] best face boxes (float, unclipped).
 
         On device OOM the batch is halved and the sweep restarts — the
@@ -218,7 +218,7 @@ class LipSyncPipeline:
             )
         return boxes
 
-    def extract_landmarks(self, frames_rgb: np.ndarray, batch: int = 16,
+    def extract_landmarks(self, frames_rgb: np.ndarray, batch: int = 32,
                           return_boxes: bool = False):
         """[N,H,W,3] uint8 RGB -> [N,68,2] landmarks (KeypointExtractor
         equivalent: S3FD box -> FAN heatmaps -> coords, fused into one
@@ -278,7 +278,7 @@ class LipSyncPipeline:
     # ------------------------------------------------------------------
 
     def extract_coeffs(self, frames_256: np.ndarray, lm: np.ndarray,
-                       batch: int = 16) -> np.ndarray:
+                       batch: int = 32) -> np.ndarray:
         """facing.py:99-134: align to 224^2, ReconNet -> [N, 262] semantic
         (257 coeffs + 5 trans params). Alignment is host PIL (exact);
         the regressor forward is batched on device."""
@@ -322,7 +322,7 @@ class LipSyncPipeline:
     # ------------------------------------------------------------------
 
     def stabilize(self, frames_256: np.ndarray, semantic: np.ndarray,
-                  batch: int = 8, one_shot: bool = False) -> np.ndarray:
+                  batch: int = 16, one_shot: bool = False) -> np.ndarray:
         """facing.py:135-198: per-frame coeff window, expression hack,
         DNet -> stabilized 256^2 frames (uint8 RGB)."""
         self._require("dnet", "expression")
