@@ -564,6 +564,20 @@ class LipSyncPipeline:
                 lambda fr, pr, bx: jnp.clip(
                     paste_resize_boxes(fr.astype(jnp.float32), pr, bx),
                     0, 255).astype(jnp.uint8))
+            # crop + mask + ENet + paste as ONE program per batch: on a
+            # relayed TPU every synchronized call costs ~0.1-1 s of link
+            # latency, so the default (non-without_rl1) path is one dispatch
+            enet_run = self._enet_fn()
+            paste_fn = self._jits["paste"]
+            prep_fn = prep
+
+            @jax.jit
+            def step6_full(variables, frames_b, boxes_b, refs_b, mel_b):
+                ofaces, face, ref_b = prep_fn(frames_b, boxes_b, refs_b)
+                pred = enet_run(variables, mel_b, face, ref_b)
+                return paste_fn(frames_b, pred * 255.0, boxes_b)
+
+            self._jits["step6_full"] = step6_full
         prep = self._jits["prep"]
 
         boxes_dev = jnp.asarray(boxes.astype(np.float32))
@@ -572,15 +586,18 @@ class LipSyncPipeline:
             idxs = [frame_index(i)
                     for i in range(start, min(start + batch, n_chunks))]
             padded = jnp.asarray(idxs + [idxs[-1]] * (batch - len(idxs)))
-            # index the device-resident clip/refs — no host re-upload
+            mel_b = jnp.asarray(chunks[np.asarray(padded)])[..., None]
+            if not cfg.infer.without_rl1:
+                pasted_dev = self._jits["step6_full"](
+                    self.models.enet, full_dev[padded], boxes_dev[padded],
+                    refs[padded], mel_b)
+                return idxs, None, None, None, pasted_dev
+            # without_rl1 needs the intermediate faces on host for the
+            # masked composite — keep the three-call structure
             ofaces, face, ref_batch = prep(
                 full_dev[padded], boxes_dev[padded], refs[padded],
             )
-            pred = run(
-                self.models.enet,
-                jnp.asarray(chunks[np.asarray(padded)])[..., None],
-                face, ref_batch,
-            )  # async: JAX dispatch returns immediately, device runs ahead
+            pred = run(self.models.enet, mel_b, face, ref_batch)
             pasted_dev = self._jits["paste"](
                 full_dev[padded], pred * 255.0, boxes_dev[padded])
             return idxs, face, ofaces, pred, pasted_dev

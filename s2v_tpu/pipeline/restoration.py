@@ -257,6 +257,16 @@ def make_mouth_restorer(models: Dict, chunk: int = 16) -> Optional[Callable]:
         out = resize_bilinear(jnp.clip(blended, 0.0, 255.0), (h, w))
         return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
+    @jax.jit
+    def mouth_full(vars_retina, vars_gfpgan, vars_parse, frames_u8, boxes):
+        """The ENTIRE Step-6 tail — RetinaFace detect, device umeyama,
+        GFPGAN restore, inverse paste, ParseNet mouth mask, 10-level
+        Laplacian blend — as one program: one dispatch + one uint8
+        download per frame batch."""
+        restored = restorer._restore_full(vars_retina, vars_gfpgan,
+                                          frames_u8)
+        return mouth_blend(vars_parse, restored, frames_u8, boxes)
+
     def hook(frames, boxes: np.ndarray) -> np.ndarray:
         """frames [B,H,W,3] uint8/float 0..255 (host or device-resident);
         boxes [B,4] (x1,y1,x2,y2). The whole tail — GFPGAN restore, ParseNet
@@ -267,10 +277,12 @@ def make_mouth_restorer(models: Dict, chunk: int = 16) -> Optional[Callable]:
                 np.clip(frames, 0, 255).astype(np.uint8)))
         else:
             frames_u8 = frames.astype(jnp.uint8)
-        restored = restorer.enhance_batch(frames_u8, device_out=True)
         n = len(frames)
         k = min(chunk, n)
         boxes_d = jnp.asarray(np.asarray(boxes, np.float32))
+        fused = "_transforms" not in restorer.__dict__
+        restored = (None if fused else
+                    restorer.enhance_batch(frames_u8, device_out=True))
         pending = []
         for i in range(0, n, k):
             sl = slice(i, min(i + k, n))
@@ -278,9 +290,15 @@ def make_mouth_restorer(models: Dict, chunk: int = 16) -> Optional[Callable]:
             ix = lambda a: jnp.concatenate(
                 [a[sl], jnp.repeat(a[sl.stop - 1 : sl.stop], pad, 0)]
             ) if pad else a[sl]
-            pending.append((sl, mouth_blend(
-                models["parsenet"], ix(restored), ix(frames_u8), ix(boxes_d),
-            )))
+            if fused:
+                res = mouth_full(
+                    models["retinaface"], models["gfpgan"],
+                    models["parsenet"], ix(frames_u8), ix(boxes_d))
+            else:
+                res = mouth_blend(
+                    models["parsenet"], ix(restored), ix(frames_u8),
+                    ix(boxes_d))
+            pending.append((sl, res))
         out = np.zeros((n, *frames_u8.shape[1:]), np.uint8)
         for sl, res in pending:
             out[sl] = np.asarray(res)[: sl.stop - sl.start]
