@@ -28,8 +28,8 @@ from __future__ import annotations
 
 import functools
 import os
-from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
 
 import numpy as np
 
@@ -59,7 +59,7 @@ from s2v_tpu.pipeline.align import (
     warp_by_grid,
 )
 from s2v_tpu.pipeline.face3d_prep import align_img
-from s2v_tpu.pipeline.utils import find_crop_norm_ratio, split_coeff, transform_semantic
+from s2v_tpu.pipeline.utils import find_crop_norm_ratio, transform_semantic
 from s2v_tpu.utils.config import PipelineConfig
 
 

@@ -39,6 +39,7 @@ def test_visual_encoder_shapes(rng):
     ]
 
 
+@pytest.mark.slow
 def test_lnet_forward_jit(rng):
     mel = jnp.zeros((2, 80, 16, 1))
     face = jnp.zeros((2, 96, 96, 6))
@@ -51,6 +52,7 @@ def test_lnet_forward_jit(rng):
     assert (out_np >= 0).all() and (out_np <= 1).all()  # sigmoid output
 
 
+@pytest.mark.slow
 def test_dnet_forward_jit(rng):
     img = jnp.zeros((2, 256, 256, 3))
     coeff = jnp.zeros((2, 27, 73))
@@ -65,6 +67,7 @@ def test_dnet_forward_jit(rng):
     assert (fake >= -1).all() and (fake <= 1).all()  # tanh output
 
 
+@pytest.mark.slow
 def test_enet_forward_jit(rng):
     mel = jnp.zeros((1, 80, 16, 1))
     face = jnp.zeros((1, 384, 384, 6))
@@ -79,6 +82,7 @@ def test_enet_forward_jit(rng):
     assert np.isfinite(np.asarray(pred)).all()
 
 
+@pytest.mark.slow
 def test_enet_lnet_frozen(rng):
     """ENet.py:18-19 freezes LNet — grads through pred must not reach
     low_res params."""

@@ -100,6 +100,7 @@ def pipeline():
     return pipe
 
 
+@pytest.mark.slow
 def test_full_pipeline_runs(pipeline, tmp_path):
     frames = (RNG.rand(N_FRAMES, H, W, 3) * 255).astype(np.uint8)
 

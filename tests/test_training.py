@@ -61,6 +61,7 @@ def enet_variables():
     )
 
 
+@pytest.mark.slow
 def test_enet_finetune_updates_only_style_convs(enet_variables):
     from s2v_tpu.train.finetune_enet import make_enet_finetune_step
 
@@ -88,6 +89,7 @@ def test_enet_finetune_updates_only_style_convs(enet_variables):
     assert not changed(new_state.params["low_res"], state.params["low_res"])
 
 
+@pytest.mark.slow
 def test_enet_finetune_real_vgg_and_identity_terms(enet_variables):
     """The wired fine-tune uses the converted VGG16 perceptual and the
     face3d identity embedding when supplied (training.py:94-134, 47-92)."""
