@@ -290,14 +290,16 @@ class FaceEnhancer:
                     (ef.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0) * 255.0
             else:
                 ef = of
-            ef = jnp.where(small[:, None, None, None],
-                           _small_face_filter(ef), ef)
+            # the reference parses the UNfiltered ef (the small-face filter2D
+            # is applied after mask computation, face_enhancement.py:145-154)
             ef512 = resize_bilinear(ef, (512, 512))
             logits, _ = parser.apply(
                 variables_parse, (ef512 / 255.0 * 2.0 - 1.0).astype(dt))
             mask_sharp = parse_mask(logits.astype(jnp.float32), self.MM) / 255.0
             tmp_mask = mask_postprocess(mask_sharp, thres=26)
             tmp_mask = resize_bilinear(tmp_mask[..., None], (s, s))
+            ef = jnp.where(small[:, None, None, None],
+                           _small_face_filter(ef), ef)
             return ef, tmp_mask, mask_sharp[..., None]
 
         @jax.jit
@@ -352,9 +354,9 @@ class FaceEnhancer:
             """The whole per-chunk chain — detect, closed-form device
             umeyama (umeyama_similarity_batched), warp, GAN, parse, paste,
             composite — as ONE program with no host round-trip. ``mode`` is
-            a static string: 'sr' | 'possion' | 'default'. Invalid frames
-            fall through to ``ori`` exactly like the host path (identity
-            transforms there, jnp.where here)."""
+            a static string: 'sr' | 'possion' | 'possion_nobbox' |
+            'default'. Invalid frames fall through to ``ori`` exactly like
+            the host path (identity transforms there, jnp.where here)."""
             x = fc_u8.astype(jnp.float32)
             bgr = x[..., ::-1] - jnp.asarray(RETINA_MEAN)
             boxes, landms, valid = detect_faces(
@@ -377,6 +379,10 @@ class FaceEnhancer:
             if mode == "possion":
                 return composite_laplacian(
                     ori_u8, tmp_img, mask_sharp_w * mb, valid)
+            if mode == "possion_nobbox":
+                # no bboxes: the reference blends with the postprocessed
+                # full_mask, not mask_sharp (face_enhancement.py:186-187)
+                return composite_laplacian(ori_u8, tmp_img, full_mask, valid)
             return composite_default(
                 ori_u8, tmp_img, full_mask, mask_sharp_w, valid)
 
@@ -456,7 +462,9 @@ class FaceEnhancer:
             # fused path: detect + device umeyama + enhance + composite as
             # one program per chunk, all chunks dispatched asynchronously
             mode = ("sr" if self.use_sr
-                    else "possion" if possion_blending else "default")
+                    else ("possion" if bboxes is not None
+                          else "possion_nobbox") if possion_blending
+                    else "default")
             k = min(self.chunk, n)
             pending = []
             for i in range(0, n, k):
@@ -527,7 +535,9 @@ class FaceEnhancer:
                     jnp.asarray(ix(np.asarray(img_sr))), tmp_img, full_mask, v
                 )
             elif possion_blending:
-                blend_mask = mask_sharp_w
+                # no bboxes: blend with the postprocessed full_mask
+                # (face_enhancement.py:186-187)
+                blend_mask = full_mask
                 if bboxes is not None:
                     bb = ix(np.asarray(bboxes))
                     mb = np.zeros((k, *ori.shape[1:3], 1), np.float32)

@@ -62,6 +62,10 @@ from s2v_tpu.pipeline.face3d_prep import align_img
 from s2v_tpu.pipeline.utils import find_crop_norm_ratio, transform_semantic
 from s2v_tpu.utils.config import PipelineConfig
 
+# Version of the Steps 1-5 artifact chain; shared by every stage's cache key
+# so a bump invalidates the whole chain (not just the stage that changed).
+_CACHE_VERSION = 3
+
 
 @dataclass
 class PipelineModels:
@@ -593,14 +597,13 @@ class LipSyncPipeline:
                     refs[padded], mel_b)
                 return idxs, None, None, None, pasted_dev
             # without_rl1 needs the intermediate faces on host for the
-            # masked composite — keep the three-call structure
+            # masked composite — drain re-pastes after compositing, so no
+            # paste is dispatched here
             ofaces, face, ref_batch = prep(
                 full_dev[padded], boxes_dev[padded], refs[padded],
             )
             pred = run(self.models.enet, mel_b, face, ref_batch)
-            pasted_dev = self._jits["paste"](
-                full_dev[padded], pred * 255.0, boxes_dev[padded])
-            return idxs, face, ofaces, pred, pasted_dev
+            return idxs, face, ofaces, pred, None
 
         def drain(idxs, face_np, orig, pred, pasted_dev):
             # upper-face edit + masked composite (inference.py:269-286):
@@ -696,13 +699,16 @@ class LipSyncPipeline:
         base = os.path.splitext(os.path.basename(face_path))[0]
         cache = ArtifactCache(cfg.infer.tmp_dir)
         refresh = cfg.infer.re_preprocess
-        crop_p = {"crop": cfg.infer.crop}
+        # a single pipeline version shared by EVERY stage key: bumping it
+        # invalidates the whole chain at once, so fresh Step-1 outputs can
+        # never be mixed with stale downstream artifacts
+        crop_p = {"crop": cfg.infer.crop, "v": _CACHE_VERSION}
 
         step_lm = cache.get_or_compute(
             base, "landmarks",
             lambda: dict(zip(("lm", "boxes"), self.extract_landmarks(
                 frames, return_boxes=True))),
-            params={**crop_p, "v": 2}, refresh=refresh,
+            params=crop_p, refresh=refresh,
         )
         lm, boxes_full = step_lm["lm"], step_lm["boxes"]
         step1 = cache.get_or_compute(

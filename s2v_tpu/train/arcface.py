@@ -59,7 +59,7 @@ def make_arcface_trainer(
     FC 0.1") — per-step random negatives keyed off the step counter."""
     model = IResNet(layers=layers, num_features=embedding_size)
     rng = jax.random.PRNGKey(0) if rng is None else rng
-    k1, k2 = jax.random.split(rng)
+    k1, k2, k_sample = jax.random.split(rng, 3)
     variables = model.init(k1, jnp.zeros((1, 112, 112, 3)), train=False)
     clf_weight = jax.random.normal(k2, (num_classes, embedding_size)) * 0.01
 
@@ -96,8 +96,10 @@ def make_arcface_trainer(
         feats = feats * jax.lax.rsqrt(
             jnp.sum(feats * feats, axis=1, keepdims=True) + 1e-12
         )
+        # negative-sampling key: derived from the trainer's rng (so seeds
+        # vary the draws) folded with the step counter (so steps differ)
         loss = clf_loss(feats, labels, clf_weight,
-                        jax.random.fold_in(jax.random.PRNGKey(11), step))
+                        jax.random.fold_in(k_sample, step))
         return loss, updates["batch_stats"]
 
     def train_step(state: ArcFaceState, images, labels):
