@@ -60,10 +60,14 @@ def test_gan_steps_run_and_update():
         g_vars["params"], d_vars["params"], mesh=mesh,
         d_reg_every=2,
     )
-    batch = {
-        "lq": jnp.asarray(RNG.rand(8, size, size, 3).astype(np.float32) * 2 - 1),
-        "hq": jnp.asarray(RNG.rand(8, size, size, 3).astype(np.float32) * 2 - 1),
-    }
+    # batches come from the GPEN degradation pipeline (dataset_face.py
+    # FaceDataset equivalent) — the trainer consumes dict(lq, hq) in [-1,1]
+    from s2v_tpu.prep.degradations import face_batches
+
+    hq_imgs = (RNG.rand(4, size, size, 3) * 255).astype(np.uint8)
+    batch = {k: jnp.asarray(v) for k, v in next(face_batches(
+        hq_imgs, batch_size=8, rng=np.random.default_rng(7),
+        steps=1)).items()}
     with mesh:
         state, dm = d_step(state, batch)
         state, gm = g_step(state, batch)
