@@ -29,6 +29,7 @@ from jax import shard_map
 from s2v_tpu.models.iresnet import IResNet
 from s2v_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
 from s2v_tpu.parallel.partial_fc import partial_fc_loss
+from s2v_tpu.parallel.zero import shard_opt_state
 
 
 class ArcFaceState(struct.PyTreeNode):
@@ -51,12 +52,18 @@ def make_arcface_trainer(
     margin_kind: str = "arcface",
     rng: Optional[jax.Array] = None,
     sample_rate: float = 1.0,
+    zero_opt: bool = True,
 ):
     """Returns (state, train_step) with state already device_put on the mesh.
 
     ``sample_rate < 1`` enables PartialFC negative-class sampling
     (arcface_torch partial_fc.py:100-123; speed_benchmark.md rows "Partial
-    FC 0.1") — per-step random negatives keyed off the step counter."""
+    FC 0.1") — per-step random negatives keyed off the step counter.
+
+    ``zero_opt`` shards the SGD momentum buffers over the data axis (the
+    ZeRO-1 / DeepSpeed-engine analogue, parallel.zero) — params stay
+    replicated; XLA all-gathers the updates. The classifier's momentum
+    follows the classifier weight's model-axis sharding."""
     model = IResNet(layers=layers, num_features=embedding_size)
     rng = jax.random.PRNGKey(0) if rng is None else rng
     k1, k2, k_sample = jax.random.split(rng, 3)
@@ -73,12 +80,21 @@ def make_arcface_trainer(
     data_sh = NamedSharding(mesh, P(DATA_AXIS))
     clf_sh = NamedSharding(mesh, P(MODEL_AXIS, None))
 
+    clf_weight_dev = jax.device_put(clf_weight, clf_sh)
+    if zero_opt:
+        opt0 = shard_opt_state(mesh, tx.init(variables["params"]))
+        clf_opt0 = shard_opt_state(
+            mesh, clf_tx.init(clf_weight), like=[clf_weight_dev])
+    else:
+        opt0 = jax.device_put(tx.init(variables["params"]), repl)
+        clf_opt0 = jax.device_put(clf_tx.init(clf_weight), repl)
+
     state = ArcFaceState(
         params=jax.device_put(variables["params"], repl),
         batch_stats=jax.device_put(variables.get("batch_stats", {}), repl),
-        clf_weight=jax.device_put(clf_weight, clf_sh),
-        opt_state=jax.device_put(tx.init(variables["params"]), repl),
-        clf_opt_state=jax.device_put(clf_tx.init(clf_weight), repl),
+        clf_weight=clf_weight_dev,
+        opt_state=opt0,
+        clf_opt_state=clf_opt0,
         step=jax.device_put(jnp.zeros((), jnp.int32), repl),
     )
 
