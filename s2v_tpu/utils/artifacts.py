@@ -97,6 +97,40 @@ class ArtifactWriter:
             json.dump(self._history, f)
         return path
 
+    def webpage(self, title: str = "experiment") -> str:
+        """Render ``index.html``: the training dashboard — loss curves at
+        the top, then every dumped step directory (newest first) with its
+        images/SVGs inlined. The face3d/util/visualizer.py HTML webpage +
+        ganimation visdom dashboard equivalent (Visualizer.
+        display_current_results, visualizer.py:82-115), rebuilt as a static
+        self-contained page (no visdom server / tensorboard daemon — a TPU
+        pod job just writes files; open over any file share)."""
+        os.makedirs(self.directory, exist_ok=True)
+        self.curves()
+        parts = [f"<html><head><title>{title}</title></head><body>",
+                 f"<h1>{title}</h1>",
+                 "<p><a href='curves.html'>loss curves</a> | "
+                 "<a href='curves.json'>raw scalars</a></p>"]
+        steps = sorted((d for d in os.listdir(self.directory)
+                        if d.startswith("step_")), reverse=True)
+        for d in steps:
+            files = sorted(os.listdir(os.path.join(self.directory, d)))
+            imgs = "".join(
+                f"<figure style='display:inline-block;margin:4px'>"
+                f"<img src='{d}/{f}' style='max-width:320px'>"
+                f"<figcaption>{f}</figcaption></figure>"
+                for f in files if f.endswith((".png", ".svg")))
+            extra = ", ".join(f"<a href='{d}/{f}'>{f}</a>"
+                              for f in files
+                              if not f.endswith((".png", ".svg")))
+            parts.append(f"<h2>{d}</h2>{imgs}"
+                         + (f"<p>{extra}</p>" if extra else ""))
+        parts.append("</body></html>")
+        path = os.path.join(self.directory, "index.html")
+        with open(path, "w") as f:
+            f.write("".join(parts))
+        return path
+
     def embedding_scatter(self, step: int, name: str,
                           embeddings: np.ndarray,
                           labels: Optional[Sequence] = None) -> str:

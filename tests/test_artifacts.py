@@ -32,3 +32,18 @@ def test_audio_and_curves(tmp_path):
     content = open(html).read()
     assert "<svg" in content and "loss" in content
     assert os.path.isfile(html.replace(".html", ".json"))
+
+
+def test_webpage_dashboard(tmp_path):
+    """index.html dashboard: curves link + per-step image galleries
+    (face3d/util/visualizer.py webpage equivalent)."""
+    w = ArtifactWriter(str(tmp_path), every=1)
+    w.scalars(1, {"loss": 1.0})
+    w.scalars(2, {"loss": 0.5})
+    w.image_grid(2, "fakes", np.random.rand(4, 8, 8, 3))
+    w.audio(2, "sample", np.zeros(160), 16000)
+    path = w.webpage("exp-1")
+    html = open(path).read()
+    assert "curves.html" in html and "step_00000002" in html
+    assert "fakes.png" in html and "sample.wav" in html
+    assert os.path.exists(os.path.join(str(tmp_path), "curves.html"))
