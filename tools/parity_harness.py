@@ -208,8 +208,15 @@ def main():
     results["pipeline_output"] = out_metrics
     print("pipeline", out_metrics, flush=True)
 
-    tag = os.environ.get("S2V_ROUND", "r02")
+    tag = os.environ.get("S2V_ROUND", "r03")
     path = os.path.join(REPO, f"PARITY_{tag}.json")
+    # merge: parity_pipeline.py writes its whole-pipeline section into the
+    # same file
+    if os.path.exists(path):
+        with open(path) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(path, "w") as f:
         json.dump(results, f, indent=2)
     print("wrote", path)
