@@ -177,7 +177,8 @@ def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
     # Step 5 parity: the reference passes face_enhance=False here
     # (inference.py:237) — detection + parse + composite only
     models.ref_enhancer = lambda frames: enhancer.process_batch(
-        frames, face_enhance=False)
+        frames, face_enhance=False,
+        device_out=not isinstance(frames, np.ndarray))
 
     gfp = _fill_variables(GFPGANv1Clean().init, z((1, 512, 512, 3)))
     models.mouth_restorer = R.make_mouth_restorer(
@@ -233,6 +234,9 @@ def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
 
     pipe.detect_boxes = detect_boxes
     pipe.extract_landmarks = extract_landmarks
+    # exposed for the devtime mode: the enhancer objects behind the hooks
+    pipe._bench_enhancer = enhancer
+    pipe._bench_final = final if with_final else None
     return pipe
 
 
@@ -322,6 +326,235 @@ def bench_e2e(n_frames: int = None, hw: int = None, with_final: bool = False):
     }
 
 
+# ---------------------------------------------------------------------------
+# device-time accounting (pure on-chip ms/frame per stage + MFU + transfers)
+# ---------------------------------------------------------------------------
+
+# v5e (TPU v5 lite) peak throughput, bf16 matmul on the MXU
+_PEAK_BF16_FLOPS = 197e12
+
+
+def transfer_ledger(hw: int = 384) -> dict:
+    """Analytic bytes-per-frame crossing the host<->device link for the
+    default six-stage e2e flow, from the static shapes of each stage's
+    chunk inputs/outputs (pipeline/inference.py). 'Analytic' because every
+    program shape is static — the ledger IS the transfer schedule."""
+    u8_full = hw * hw * 3            # one full frame, uint8
+    u8_256 = 256 * 256 * 3
+    h2d = {
+        "lm_full": u8_full,          # Step-1 landmark sweep (u8 chunks)
+        "ffhq_crop": u8_full,        # cropped region upload (<= full frame)
+        "coeffs_lm256": u8_256,      # landmark sweep on the 256^2 crops
+        "coeffs_aligned": 224 * 224 * 3,  # uint8 aligned faces
+        "stabilize": u8_256 + 26 * 73 * 4,
+        "gpen512": u8_256,
+        "reffaces_lm": u8_256,       # landmark sweep on stabilized
+        "reffaces": u8_256 + (4 * 2 + 8 + 4) * 4,  # stab + quads/pcoeffs/box
+        "step6_clip": u8_full,       # device-resident clip, uploaded once
+        "step6_mel": 80 * 16 * 4,
+    }
+    d2h = {
+        "lm_full": (4 + 1 + 68 * 2 * 4),   # boxes+valid+landmarks
+        "ffhq": u8_256,
+        "coeffs": 262 * 4,
+        "stabilize": u8_256,
+        "gpen512": u8_256,
+        "mouth_out": u8_full,        # the final composited frame, uint8
+    }
+    return {
+        "h2d_bytes_per_frame": h2d,
+        "d2h_bytes_per_frame": d2h,
+        "h2d_total": sum(h2d.values()),
+        "d2h_total": sum(d2h.values()),
+    }
+
+
+def bench_link():
+    """Measured host<->device link: bandwidth both directions + per-call
+    latency (substantiates the relay model the e2e analysis rests on)."""
+    mb = 32
+    buf = np.zeros((mb << 20,), np.uint8)
+    # warm up the transfer path
+    _sync(jnp.asarray(buf[: 1 << 20]))
+    t0 = time.time()
+    dev = jnp.asarray(buf)
+    _sync(dev[:8])
+    h2d_s = time.time() - t0
+    t0 = time.time()
+    _ = np.asarray(dev)
+    d2h_s = time.time() - t0
+    tiny = jnp.zeros((), jnp.float32)
+    g = jax.jit(lambda c: c + 1.0)
+    _sync(g(tiny))
+    n = 20
+    t0 = time.time()
+    c = tiny
+    for _ in range(n):
+        c = g(c)
+        np.asarray(c)  # synchronized round-trip per call
+    lat_s = (time.time() - t0) / n
+    return {
+        "h2d_MBps": round(mb / h2d_s, 1),
+        "d2h_MBps": round(mb / d2h_s, 1),
+        "sync_call_latency_ms": round(lat_s * 1000, 2),
+    }
+
+
+def bench_devtime(with_final: bool = False, n_iter: int = 12):
+    """Pure device execution time per stage program, measured by chaining
+    iterations through a data dependency (carry perturbs the input, the
+    output feeds the carry) so the device must run them back-to-back; one
+    sync at the end. Per-frame ms = batch time / batch. Dispatch latency is
+    amortized across n_iter, so the numbers approach device-busy time.
+
+    Reports: per-stage device ms/frame, their sum (the device-bound e2e
+    fps), the ENet program's FLOPs from XLA cost analysis -> MFU, the
+    analytic transfer ledger, and the measured link profile.
+    """
+    hw, B = 384, 16
+    pipe = build_e2e_pipeline(16, hw, with_final)
+    m = pipe.models
+    rs = np.random.RandomState(3)
+
+    f384 = jnp.asarray((rs.rand(B, hw, hw, 3) * 255).astype(np.float32))
+    f256 = jnp.asarray((rs.rand(B, 256, 256, 3) * 255).astype(np.float32))
+    aligned = jnp.asarray((rs.rand(B, 224, 224, 3) * 255).astype(np.float32))
+    coeff = jnp.asarray(rs.rand(B, 26, 73).astype(np.float32))
+    mel = jnp.asarray(rs.rand(B, 80, 16, 1).astype(np.float32))
+    cx = cy = hw / 2
+    s = hw * 0.3
+    boxes = jnp.asarray(
+        np.tile(np.asarray([cx - s, cy - s, cx + s, cy + s], np.float32),
+                (B, 1)))
+    quads = jnp.asarray(
+        np.tile(np.asarray([[32, 32], [32, 224], [224, 224], [224, 32]],
+                           np.float32), (B, 1, 1)))
+    pcoeffs = jnp.asarray(
+        np.tile(np.asarray([1, 0, 0, 0, 1, 0, 0, 0], np.float32), (B, 1)))
+
+    from s2v_tpu.models.resnet import ReconNet
+    from s2v_tpu.models import DNet, ENet
+
+    lm_fn = pipe._landmark_fn()
+    recon = ReconNet()
+    dnet = DNet()
+    enet = ENet()
+    enh = pipe._bench_enhancer
+    mouth_full = m.mouth_restorer.mouth_full
+    mm = m.mouth_restorer.restorer.models  # {'retinaface','gfpgan','parsenet'}
+
+    def perturb(x, carry):
+        return x + carry  # float input variant; carry stays ~0
+
+    stage_fns = {
+        # Step 1 / datagen landmark sweeps (S3FD+FAN fused program)
+        "landmarks_384": (lambda c: jnp.sum(
+            lm_fn(m.s3fd, m.fan, perturb(f384, c))[2]) * 1e-12 + c, 1.0),
+        "landmarks_256": (lambda c: jnp.sum(
+            lm_fn(m.s3fd, m.fan, perturb(f256, c))[2]) * 1e-12 + c, 1.0),
+        # Step 2 regressor
+        "recon": (lambda c: jnp.sum(recon.apply(
+            m.recon, perturb(aligned, c) / 255.0)) * 1e-12 + c, 1.0),
+        # Step 3 DNet (bf16 like the product program)
+        "dnet": (lambda c: jnp.sum(dnet.apply(
+            m.dnet,
+            (perturb(f256, c) / 255.0 * 2.0 - 1.0).astype(jnp.bfloat16),
+            coeff.astype(jnp.bfloat16))["fake_image"].astype(jnp.float32))
+            * 1e-12 + c, 1.0),
+        # Step 5: the fused detect+umeyama+parse+composite program
+        # (face_enhance=False exactly like inference.py:237)
+        "gpen512_step5": (lambda c: jnp.sum(enh._enhance_full(
+            False, "default", enh.models["retinaface"],
+            enh.models["facegan"], enh.models["parsenet"],
+            (perturb(f256, c)).astype(jnp.uint8),
+            f256.astype(jnp.uint8),
+            jnp.ones((1, 1, 1, 1), jnp.float32)).astype(jnp.float32))
+            * 1e-12 + c, 1.0),
+        # datagen reference construction (quad warp + perspective paste)
+        "reffaces": (lambda c: jnp.sum(pipe._jits[
+            [k for k in pipe._jits if isinstance(k, tuple)][0]](
+            perturb(f256, c).astype(jnp.uint8), f384.astype(jnp.uint8),
+            quads, pcoeffs, boxes)) * 1e-12 + c, 1.0),
+        # Step 6 synthesis: crop+mask+ENet+paste, one program
+        "step6_enet": (lambda c: jnp.sum(pipe._jits["step6_full"](
+            m.enet, perturb(f384, c).astype(jnp.uint8), boxes,
+            f384, mel).astype(jnp.float32)) * 1e-12 + c, 1.0),
+        # Step 6 tail: GFPGAN mouth restore + ParseNet + Laplacian blend
+        "mouth_tail": (lambda c: jnp.sum(mouth_full(
+            mm["retinaface"], mm["gfpgan"], mm["parsenet"],
+            perturb(f384, c).astype(jnp.uint8),
+            boxes).astype(jnp.float32)) * 1e-12 + c, 1.0),
+    }
+
+    # build the product jits the closures reference (ref_all + step6_full)
+    pipe.build_reference_faces(
+        np.asarray(f256, np.uint8), f384.astype(jnp.uint8),
+        (0, hw, 0, hw), np.asarray(boxes))
+    saved_mouth, m.mouth_restorer = m.mouth_restorer, None
+    pipe.synthesize(np.asarray(f256, np.uint8),
+                    jnp.asarray(np.zeros((80, 40), np.float32)),
+                    np.asarray(f384, np.uint8), (0, hw, 0, hw), 25.0,
+                    boxes_full=np.asarray(boxes))
+    m.mouth_restorer = saved_mouth
+
+    results = {}
+    flops = {}
+    for name, (fn, per_frame_scale) in stage_fns.items():
+        carry = jnp.zeros((), jnp.float32)
+        t0 = time.time()
+        # ONE compile serves both the timed loop and the cost analysis
+        g = jax.jit(fn).lower(carry).compile()
+        compile_s = time.time() - t0
+        carry = g(carry)
+        _sync(carry)  # first-run warmup
+        t0 = time.time()
+        for _ in range(n_iter):
+            carry = g(carry)
+        _sync(carry)
+        dt = (time.time() - t0) / n_iter
+        results[name] = {
+            "ms_per_batch": round(dt * 1000, 2),
+            "ms_per_frame": round(dt * 1000 / (B * per_frame_scale), 3),
+            "compile_s": round(compile_s, 1),
+        }
+        try:
+            ca = g.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops[name] = float(ca.get("flops", float("nan")))
+        except Exception:
+            flops[name] = float("nan")
+        print(f"# {name}: {results[name]}", file=sys.stderr, flush=True)
+
+    total_ms = sum(r["ms_per_frame"] for r in results.values())
+    gen_ms = results["step6_enet"]["ms_per_frame"]
+    gen_flops_per_frame = flops.get("step6_enet", float("nan")) / B
+    mfu = gen_flops_per_frame / (gen_ms / 1000.0) / _PEAK_BF16_FLOPS
+    ledger = transfer_ledger(hw)
+    link = bench_link()
+    # transfer floor: the ledger bytes at the measured link rates
+    floor_ms = (ledger["h2d_total"] / (link["h2d_MBps"] * 1e6) +
+                ledger["d2h_total"] / (link["d2h_MBps"] * 1e6)) * 1000
+    return {
+        "metric": "device_e2e_fps_384px",
+        "value": round(1000.0 / total_ms, 1),
+        "unit": "frames/sec",
+        "vs_baseline": round(1000.0 / total_ms / 100.0, 3),
+        "detail": {
+            "device_ms_per_frame_total": round(total_ms, 2),
+            "stages": results,
+            "flops_per_stage_batch16": {k: None if v != v else int(v)
+                                        for k, v in flops.items()},
+            "generator_mfu_bf16": None if mfu != mfu else round(mfu, 4),
+            "peak_bf16_flops": _PEAK_BF16_FLOPS,
+            "transfer_ledger": ledger,
+            "link": link,
+            "transfer_floor_ms_per_frame": round(floor_ms, 2),
+            "device": str(jax.devices()[0]),
+        },
+    }
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     if mode == "generator":
@@ -331,6 +564,13 @@ def main():
     if mode == "e2e":
         print(json.dumps(bench_e2e(
             with_final=os.environ.get("S2V_BENCH_FULL") == "1")))
+        return
+    if mode == "devtime":
+        print(json.dumps(bench_devtime(
+            with_final=os.environ.get("S2V_BENCH_FULL") == "1")))
+        return
+    if mode == "link":
+        print(json.dumps(bench_link()))
         return
 
     # default: generator first (a truncated run still records a line), then

@@ -112,7 +112,8 @@ def load_models(checkpoint_dir: str, cfg=None):
         # Step-5 reference enhancement, batched over the whole clip
         # (inference.py:225-227,234-238: in_size 512, face_enhance=False)
         models.ref_enhancer = lambda frames: enhancer.process_batch(
-            frames, face_enhance=False)
+            frames, face_enhance=False,
+            device_out=not isinstance(frames, np.ndarray))
 
     # final full-frame enhancement: GPEN-BFR-2048 + RealESRNet x2, output at
     # 2x the input resolution (inference.py:228-231,246,317-330)

@@ -65,9 +65,13 @@ class ENet(nn.Module):
     - gt:    [B, 384, 384, 3] — reference frames (style/identity source)
 
     Returns (pred [B,384,384,3], low_res [B,96,96,3]).
+
+    ``lnet_res_blocks`` sizes the wrapped LNet decoder (9 = the reference
+    production depth; tests use 2 for a slim graph with every layer type).
     """
 
     num_style_feat: int = 512
+    lnet_res_blocks: int = 9
 
     @nn.compact
     def __call__(self, audio, face, gt, train: bool = False,
@@ -86,7 +90,8 @@ class ENet(nn.Module):
 
         lnet_input = jnp.concatenate([inp, gt], axis=-1)
         lnet_input = resize_bilinear(lnet_input, (96, 96))
-        low_res_img = LNet(name="low_res")(audio, lnet_input, train=False)
+        low_res_img = LNet(num_res_blocks=self.lnet_res_blocks,
+                           name="low_res")(audio, lnet_input, train=False)
         # frozen LNet (ENet.py:18-19): block gradients into the low-res branch
         low_res_img = jax.lax.stop_gradient(low_res_img)
 

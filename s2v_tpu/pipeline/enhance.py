@@ -418,11 +418,12 @@ class FaceEnhancer:
             small[i] = min(fh, fw) < 100  # face_enhancement.py:153
         return tfms, tfm_invs, small
 
-    def process_batch(self, frames_rgb: np.ndarray,
-                      ori_frames: Optional[np.ndarray] = None,
+    def process_batch(self, frames_rgb,
+                      ori_frames=None,
                       face_enhance: bool = True,
                       possion_blending: bool = False,
-                      bboxes: Optional[np.ndarray] = None) -> np.ndarray:
+                      bboxes: Optional[np.ndarray] = None,
+                      device_out: bool = False):
         """Batched FaceEnhancement.process over a stack of frames.
 
         frames_rgb: [N, H, W, 3] uint8/float. ori_frames: the paste base
@@ -437,8 +438,20 @@ class FaceEnhancer:
         talking-head frames.
         """
         n = len(frames_rgb)
-        x = np.ascontiguousarray(
-            np.clip(frames_rgb, 0, 255).astype(np.uint8))
+        # device-resident input: the fused path chunks with zero-transfer
+        # device slices (pipeline.utils.device_chunker); the SR and
+        # host-solver configurations still materialize on host
+        dev_in = isinstance(frames_rgb, jnp.ndarray)
+        if dev_in and (self.use_sr or "_transforms" in self.__dict__
+                       or (ori_frames is not None
+                           and not isinstance(ori_frames, jnp.ndarray))):
+            frames_rgb = np.asarray(frames_rgb)
+            dev_in = False
+        if dev_in:
+            x = jnp.clip(frames_rgb, 0, 255).astype(jnp.uint8)
+        else:
+            x = np.ascontiguousarray(
+                np.clip(frames_rgb, 0, 255).astype(np.uint8))
 
         if self.use_sr:
             # SR the full frame, then run detection on the bilinear-upscaled
@@ -455,8 +468,13 @@ class FaceEnhancer:
         else:
             img_sr = None
 
-        ori = x if ori_frames is None else np.ascontiguousarray(
-            np.clip(ori_frames, 0, 255).astype(np.uint8))
+        if ori_frames is None:
+            ori = x
+        elif isinstance(ori_frames, jnp.ndarray):
+            ori = jnp.clip(ori_frames, 0, 255).astype(jnp.uint8)
+        else:
+            ori = np.ascontiguousarray(
+                np.clip(ori_frames, 0, 255).astype(np.uint8))
 
         if "_transforms" not in self.__dict__:
             # fused path: detect + device umeyama + enhance + composite as
@@ -465,28 +483,39 @@ class FaceEnhancer:
                     else ("possion" if bboxes is not None
                           else "possion_nobbox") if possion_blending
                     else "default")
+            from s2v_tpu.pipeline.utils import device_chunker
+
             k = min(self.chunk, n)
+            cx = device_chunker(x, k)
+            if self.use_sr:
+                cori = device_chunker(np.asarray(img_sr), k)
+            elif ori is x:
+                cori = cx
+            else:
+                cori = device_chunker(ori, k)
             pending = []
             for i in range(0, n, k):
                 sl = slice(i, min(i + k, n))
                 pad = k - (sl.stop - sl.start)
-                ix = lambda a: np.concatenate(
-                    [a[sl], np.repeat(a[sl.stop - 1 : sl.stop], pad, 0)]
-                ) if pad else a[sl]
                 if mode == "possion" and bboxes is not None:
-                    bb = ix(np.asarray(bboxes))
+                    bb = np.asarray(bboxes)[sl]
+                    if pad:
+                        bb = np.concatenate(
+                            [bb, np.repeat(bb[-1:], pad, 0)])
                     mb = np.zeros((k, *ori.shape[1:3], 1), np.float32)
                     for j in range(k):
                         y1, y2, x1, x2 = [int(t) for t in bb[j]]
                         mb[j, y1 : max(y2 - 5, y1), x1:x2] = 1.0
                 else:
                     mb = np.ones((1, 1, 1, 1), np.float32)
-                ori_c = ix(np.asarray(img_sr)) if self.use_sr else ix(ori)
                 pending.append((sl, self._enhance_full(
                     bool(face_enhance), mode, self.models["retinaface"],
                     self.models["facegan"], self.models["parsenet"],
-                    jnp.asarray(ix(x)), jnp.asarray(ori_c), jnp.asarray(mb),
+                    cx(i), cori(i), jnp.asarray(mb),
                 )))
+            if device_out:
+                return jnp.concatenate(
+                    [res[: sl.stop - sl.start] for sl, res in pending])
             out = np.zeros(
                 (n, *(img_sr.shape[1:3] if self.use_sr else ori.shape[1:3]),
                  3), np.uint8)

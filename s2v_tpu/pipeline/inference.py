@@ -91,7 +91,8 @@ class PipelineModels:
 
 
 class LipSyncPipeline:
-    def __init__(self, cfg: PipelineConfig, models: PipelineModels):
+    def __init__(self, cfg: PipelineConfig, models: PipelineModels,
+                 mesh=None):
         self.cfg = cfg
         self.models = models
         self._jits: Dict[str, Callable] = {}
@@ -101,6 +102,25 @@ class LipSyncPipeline:
         # (S3FD/FAN/ReconNet) stay f32 — box/coefficient precision matters
         # and they are a small share of the FLOPs.
         self._dt = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+        # multi-chip inference: a jax.sharding.Mesh shards the FRAME axis of
+        # every stage program across the mesh's data axis (the rebuild's
+        # sequence parallelism, SURVEY §7.8 — every model forward here is
+        # per-frame independent, so batch-axis sharding is exact). Chunk
+        # batch sizes should be multiples of the data-axis size.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from s2v_tpu.parallel.mesh import DATA_AXIS
+
+            self._frame_sh = NamedSharding(mesh, P(DATA_AXIS))
+
+    def _dev(self, x) -> jnp.ndarray:
+        """Chunk placement: plain asarray single-device; frame-axis sharded
+        over the mesh's data axis when a mesh is configured."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        return jax.device_put(x, self._frame_sh)
 
     def _require(self, *names: str):
         missing = [n for n in names if getattr(self.models, n) is None]
@@ -169,6 +189,28 @@ class LipSyncPipeline:
             self._jits["detect_fan"] = run
         return self._jits["detect_fan"]
 
+    def _dev_chunker(self, x, batch: int):
+        """Fixed-size chunk provider over the frame axis (see
+        pipeline.utils.device_chunker): host input uploads per chunk;
+        device input serves zero-transfer dynamic slices. Chunks are mesh-
+        resharded when a mesh is configured."""
+        from s2v_tpu.pipeline.utils import device_chunker
+
+        chunk = device_chunker(x, batch)
+        if self.mesh is None and isinstance(x, jnp.ndarray):
+            return chunk
+        return lambda i: self._dev(chunk(i))
+
+    @staticmethod
+    def _collect(pending, n: int, device_out: bool = False):
+        """Join chunk results: one device concat (device_out) or one
+        host download per chunk."""
+        if device_out:
+            out = pending[0] if len(pending) == 1 else jnp.concatenate(
+                pending)
+            return out[:n]
+        return np.concatenate([np.asarray(r) for r in pending])[:n]
+
     @staticmethod
     def _chunk_sweep(dispatch, n: int, batch: int):
         """Dispatch `dispatch(i0, chunk_slice)` for every fixed-size chunk
@@ -198,13 +240,12 @@ class LipSyncPipeline:
         reference's face_detect backoff (inference_utils.py:110-128)."""
         self._require("s3fd")
         run = self._detect_fn()
-        x = np.ascontiguousarray(frames_rgb)  # u8 stays u8 across the link
+        n = len(frames_rgb)
         while True:
             try:
+                chunk = self._dev_chunker(frames_rgb, batch)
                 res = self._chunk_sweep(
-                    lambda i: run(self.models.s3fd,
-                                  jnp.asarray(self._pad_chunk(x, i, batch))),
-                    len(x), batch)
+                    lambda i: run(self.models.s3fd, chunk(i)), n, batch)
                 break
             except (RuntimeError, jax.errors.JaxRuntimeError) as e:
                 if "RESOURCE_EXHAUSTED" not in str(e) or batch == 1:
@@ -231,13 +272,13 @@ class LipSyncPipeline:
         one detection sweep instead of two."""
         self._require("s3fd", "fan")
         run = self._landmark_fn()
-        x = np.ascontiguousarray(frames_rgb)
+        n = len(frames_rgb)
         while True:
             try:
+                chunk = self._dev_chunker(frames_rgb, batch)
                 res = self._chunk_sweep(
                     lambda i: run(self.models.s3fd, self.models.fan,
-                                  jnp.asarray(self._pad_chunk(x, i, batch))),
-                    len(x), batch)
+                                  chunk(i)), n, batch)
                 break
             except (RuntimeError, jax.errors.JaxRuntimeError) as e:
                 if "RESOURCE_EXHAUSTED" not in str(e) or batch == 1:
@@ -255,9 +296,16 @@ class LipSyncPipeline:
         lms = np.concatenate([r[2] for r in res])
         return (lms, boxes) if return_boxes else lms
 
-    def ffhq_crop(self, frames_rgb: np.ndarray, first_lm: np.ndarray):
+    def ffhq_crop(self, frames_rgb: np.ndarray, first_lm: np.ndarray,
+                  frames_dev: Optional[jnp.ndarray] = None,
+                  device_out: bool = False):
         """Step 1 crop (facing.py:74-86): first-frame FFHQ quad applied to
-        all frames; returns (frames_256 [N,256,256,3] uint8, coordinates)."""
+        all frames; returns (frames_256 [N,256,256,3] uint8, coordinates).
+
+        With ``frames_dev`` (the device-resident clip) the crop+resize runs
+        as one device program keyed on the (per-video static) crop bounds —
+        the clip never re-crosses the host link. ``device_out`` keeps the
+        256^2 crops on device for the downstream stages."""
         h, w = frames_rgb.shape[1:3]
         crop, quad = ffhq_crop_box(first_lm.astype(np.float64), (w, h), 512)
         clx, cly, crx, cry = crop
@@ -266,15 +314,27 @@ class LipSyncPipeline:
         oy2 = min(cly + ry, h)
         ox1 = clx + lx
         ox2 = min(clx + rx, w)
-        cropped = frames_rgb[:, cly:cry, clx:crx][:, ly:ry, lx:rx]
-        if "ffhq_resize" not in self._jits:
-            self._jits["ffhq_resize"] = jax.jit(
-                lambda x: jnp.clip(
-                    resize_bilinear(x.astype(jnp.float32), (256, 256)),
-                    0, 255).astype(jnp.uint8))
-        frames_256 = np.asarray(
-            self._jits["ffhq_resize"](jnp.asarray(np.ascontiguousarray(cropped)))
-        )
+        if frames_dev is not None:
+            # absolute bounds of the double slice [cly:cry][ly:ry]
+            y0, y1 = cly + ly, min(cly + ry, cry)
+            x0, x1 = clx + lx, min(clx + rx, crx)
+            key = ("ffhq_dev", y0, y1, x0, x1)
+            if key not in self._jits:
+                self._jits[key] = jax.jit(
+                    lambda x: jnp.clip(resize_bilinear(
+                        x[:, y0:y1, x0:x1].astype(jnp.float32), (256, 256)),
+                        0, 255).astype(jnp.uint8))
+            out = self._jits[key](frames_dev)
+        else:
+            cropped = frames_rgb[:, cly:cry, clx:crx][:, ly:ry, lx:rx]
+            if "ffhq_resize" not in self._jits:
+                self._jits["ffhq_resize"] = jax.jit(
+                    lambda x: jnp.clip(
+                        resize_bilinear(x.astype(jnp.float32), (256, 256)),
+                        0, 255).astype(jnp.uint8))
+            out = self._jits["ffhq_resize"](
+                self._dev(np.ascontiguousarray(cropped)))
+        frames_256 = out if device_out else np.asarray(out)
         return frames_256, (oy1, oy2, ox1, ox2)
 
     # ------------------------------------------------------------------
@@ -291,7 +351,9 @@ class LipSyncPipeline:
         self._require("recon", "lm3d")
         lm3d = self.models.lm3d
         n = len(frames_256)
-        aligned = np.zeros((n, 224, 224, 3), np.float32)
+        # uint8 across the link (PIL emits uint8 anyway); the /255
+        # normalization happens on-device — 4x less H2D traffic than f32
+        aligned = np.zeros((n, 224, 224, 3), np.uint8)
         trans_params = np.zeros((n, 5), np.float32)
         h = frames_256.shape[1]
         for i in range(n):
@@ -306,18 +368,18 @@ class LipSyncPipeline:
             tp, img_new, _ = align_img(
                 Image.fromarray(frames_256[i]), lm_i, lm3d
             )
-            aligned[i] = np.asarray(img_new, np.float32) / 255.0
+            aligned[i] = np.asarray(img_new, np.uint8)
             trans_params[i] = tp
 
         if "recon" not in self._jits:
             model = ReconNet()
             self._jits["recon"] = jax.jit(
-                lambda v, x: model.apply(v, x)
+                lambda v, x: model.apply(v, x.astype(jnp.float32) / 255.0)
             )
         run = self._jits["recon"]
         coeffs = np.concatenate(self._chunk_sweep(
             lambda i: run(self.models.recon,
-                          jnp.asarray(self._pad_chunk(aligned, i, batch))),
+                          self._dev(self._pad_chunk(aligned, i, batch))),
             n, batch))  # [N, 257]
         return np.concatenate([coeffs, trans_params], axis=1)  # [N, 262]
 
@@ -325,10 +387,13 @@ class LipSyncPipeline:
     # Step 3: DNet stabilization
     # ------------------------------------------------------------------
 
-    def stabilize(self, frames_256: np.ndarray, semantic: np.ndarray,
-                  batch: int = 16, one_shot: bool = False) -> np.ndarray:
+    def stabilize(self, frames_256, semantic: np.ndarray,
+                  batch: int = 16, one_shot: bool = False,
+                  device_out: bool = False):
         """facing.py:135-198: per-frame coeff window, expression hack,
-        DNet -> stabilized 256^2 frames (uint8 RGB)."""
+        DNet -> stabilized 256^2 frames (uint8 RGB). ``frames_256`` may be
+        device-resident; ``device_out`` keeps the result on device so the
+        Step-5 enhancer chains without a host round-trip."""
         self._require("dnet", "expression")
         n = len(frames_256)
         expression = self.models.expression
@@ -380,24 +445,35 @@ class LipSyncPipeline:
 
         src = frames_256
         if one_shot:
-            src = np.repeat(src[0:1], n, axis=0)
-        coeff_np = np.asarray(coeff)
-
-        def dispatch(i):
-            chunk = self._pad_chunk(src, i, batch)
-            cchunk = self._pad_chunk(coeff_np, i, batch)
-            return run(self.models.dnet, jnp.asarray(chunk),
-                       jnp.transpose(jnp.asarray(cchunk), (0, 2, 1)))
-
-        return np.concatenate(self._chunk_sweep(dispatch, n, batch))
+            xp = jnp if isinstance(src, jnp.ndarray) else np
+            src = xp.repeat(src[0:1], n, axis=0)
+        # coeff is already device-resident; transpose once on device
+        coeff_t = jnp.transpose(coeff, (0, 2, 1))
+        chunk_src = self._dev_chunker(src, batch)
+        chunk_coeff = self._dev_chunker(coeff_t, batch)
+        pending = [run(self.models.dnet, chunk_src(i), chunk_coeff(i))
+                   for i in range(0, n, batch)]
+        return self._collect(pending, n, device_out)
 
     # ------------------------------------------------------------------
     # Step 6: synthesis
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _enet_depth(enet_vars) -> int:
+        """LNet decoder depth inferred from the variable tree — converted
+        reference checkpoints are the production 9 blocks/level; test
+        fixtures may supply slim graphs."""
+        try:
+            dec = enet_vars["params"]["low_res"]["decoder"]
+            outer = next(v for k, v in dec.items() if k.startswith("res"))
+            return sum(1 for k in outer if k.startswith("res"))
+        except (KeyError, StopIteration, TypeError, AttributeError):
+            return 9
+
     def _enet_fn(self):
         if "enet" not in self._jits:
-            model = ENet()
+            model = ENet(lnet_res_blocks=self._enet_depth(self.models.enet))
             dt = self._dt
 
             @jax.jit
@@ -480,9 +556,9 @@ class LipSyncPipeline:
             self._jits[key] = ref_all
 
         return self._jits[key](
-            jnp.asarray(stabilized), jnp.asarray(full_frames),
-            jnp.asarray(quads), jnp.asarray(pcoeffs),
-            jnp.asarray(boxes[:, [0, 1, 2, 3]].astype(np.float32)),
+            self._dev(stabilized), self._dev(full_frames),
+            self._dev(quads), self._dev(pcoeffs),
+            self._dev(np.asarray(boxes)[:, [0, 1, 2, 3]].astype(np.float32)),
         )
 
     def synthesize(
@@ -502,7 +578,10 @@ class LipSyncPipeline:
         n_chunks = num_mel_chunks(mel.shape[1], fps)
         n_frames = min(len(stabilized), n_chunks)
         stabilized = stabilized[:n_frames]
-        full_frames_t = np.ascontiguousarray(full_frames[:n_frames])
+        if isinstance(full_frames, jnp.ndarray):
+            full_frames_t = full_frames[:n_frames]  # device slice
+        else:
+            full_frames_t = np.ascontiguousarray(full_frames[:n_frames])
         chunks = np.asarray(mel_chunks_for_frames(mel, n_chunks, fps))
 
         if cfg.infer.box[0] != -1:
@@ -528,7 +607,7 @@ class LipSyncPipeline:
 
         # the clip crosses the host->device link ONCE as uint8; every Step-6
         # program indexes the device-resident copy
-        full_dev = jnp.asarray(full_frames_t)
+        full_dev = self._dev(full_frames_t)
         refs = self.build_reference_faces(
             stabilized, full_dev, coordinates, boxes
         )  # device-resident [N, img, img, 3] f32
@@ -584,17 +663,18 @@ class LipSyncPipeline:
             self._jits["step6_full"] = step6_full
         prep = self._jits["prep"]
 
-        boxes_dev = jnp.asarray(boxes.astype(np.float32))
+        boxes_dev = self._dev(boxes.astype(np.float32))
 
         def assemble(start):
             idxs = [frame_index(i)
                     for i in range(start, min(start + batch, n_chunks))]
             padded = jnp.asarray(idxs + [idxs[-1]] * (batch - len(idxs)))
-            mel_b = jnp.asarray(chunks[np.asarray(padded)])[..., None]
+            mel_b = self._dev(chunks[np.asarray(padded)][..., None])
             if not cfg.infer.without_rl1:
                 pasted_dev = self._jits["step6_full"](
-                    self.models.enet, full_dev[padded], boxes_dev[padded],
-                    refs[padded], mel_b)
+                    self.models.enet, self._dev(full_dev[padded]),
+                    self._dev(boxes_dev[padded]), self._dev(refs[padded]),
+                    mel_b)
                 return idxs, None, None, None, pasted_dev
             # without_rl1 needs the intermediate faces on host for the
             # masked composite — drain re-pastes after compositing, so no
@@ -620,7 +700,7 @@ class LipSyncPipeline:
                 pred = pred * mask + cur * (1.0 - mask)
                 bsel = boxes[idxs]
                 pasted = np.asarray(self._jits["paste"](
-                    jnp.asarray(full_frames_t[idxs]),
+                    jnp.asarray(full_frames_t[np.asarray(idxs)]),
                     jnp.asarray(pred)[: len(idxs)] * 255.0,
                     jnp.asarray(bsel.astype(np.float32)),
                 ))
@@ -651,7 +731,9 @@ class LipSyncPipeline:
                             lambda x: resize_bilinear(x, hw))
                     pp = np.asarray(self._jits["crop_down"](
                         jnp.asarray(final.astype(np.float32))))
-                    ff = full_frames_t[idxs].astype(np.float32).copy()
+                    ff = np.asarray(
+                        full_frames_t[np.asarray(idxs)]).astype(
+                        np.float32).copy()
                     for k in range(len(idxs)):
                         x1, y1, x2, y2 = bsel[k]
                         ff[k, y1:y2, x1:x2] = pp[k, y1:y2, x1:x2]
@@ -704,42 +786,74 @@ class LipSyncPipeline:
         # never be mixed with stale downstream artifacts
         crop_p = {"crop": cfg.infer.crop, "v": _CACHE_VERSION}
 
+        # the clip crosses the host->device link ONCE; every stage program
+        # chains on device-resident intermediates (device slices instead of
+        # per-stage re-uploads); the host only sees cache artifacts, PIL
+        # alignment inputs and the final frames
+        frames_dev = self._dev(frames)
+        dev: Dict[str, jnp.ndarray] = {}
+
         step_lm = cache.get_or_compute(
             base, "landmarks",
             lambda: dict(zip(("lm", "boxes"), self.extract_landmarks(
-                frames, return_boxes=True))),
+                frames_dev, return_boxes=True))),
             params=crop_p, refresh=refresh,
         )
         lm, boxes_full = step_lm["lm"], step_lm["boxes"]
+
+        def compute_ffhq():
+            f256, coords = self.ffhq_crop(frames, lm[0],
+                                          frames_dev=frames_dev,
+                                          device_out=True)
+            dev["f256"] = f256
+            return {"frames": np.asarray(f256), "coords": coords}
+
         step1 = cache.get_or_compute(
-            base, "ffhq",
-            lambda: dict(zip(("frames", "coords"),
-                             self.ffhq_crop(frames, lm[0]))),
-            params=crop_p, refresh=refresh,
+            base, "ffhq", compute_ffhq, params=crop_p, refresh=refresh,
         )
         frames_256 = step1["frames"]
+        f256_dev = dev.get("f256")
+        if f256_dev is None:  # cache hit: re-upload once
+            f256_dev = self._dev(frames_256)
         coordinates = tuple(int(v) for v in np.asarray(step1["coords"]))
         semantic = cache.get_or_compute(
             base, "coeffs",
             lambda: self.extract_coeffs(
-                frames_256, self.extract_landmarks(frames_256)),
+                frames_256, self.extract_landmarks(f256_dev)),
             params=crop_p, refresh=refresh,
         )
+
+        def compute_stab():
+            dev["stab"] = self.stabilize(f256_dev, semantic,
+                                         one_shot=cfg.infer.one_shot,
+                                         device_out=True)
+            return np.asarray(dev["stab"])
+
         stabilized = cache.get_or_compute(
-            base, "stabilized",
-            lambda: self.stabilize(frames_256, semantic,
-                                   one_shot=cfg.infer.one_shot),
+            base, "stabilized", compute_stab,
             params={**crop_p, "one_shot": cfg.infer.one_shot,
                     "exp_img": cfg.infer.exp_img},
             refresh=refresh,
         )
+        stab_dev = dev.get("stab")
+        if stab_dev is None:
+            stab_dev = self._dev(stabilized)
         if self.models.ref_enhancer is not None:
-            # Step 5 (inference.py:234-238), batched over the whole clip
+            # Step 5 (inference.py:234-238), batched over the whole clip;
+            # the hook may return a device array (cli wires device_out)
+            def compute_enh():
+                e = self.models.ref_enhancer(stab_dev)
+                if isinstance(e, jnp.ndarray):
+                    dev["enh"] = e
+                return np.asarray(e)
+
             stabilized = cache.get_or_compute(
-                base, "enhanced5",
-                lambda: self.models.ref_enhancer(stabilized),
+                base, "enhanced5", compute_enh,
                 params=crop_p, refresh=refresh,
             )
+            stab_dev = dev.get("enh")
+            if stab_dev is None:
+                stab_dev = self._dev(stabilized)
 
         wav = load_wav(audio_path, cfg.audio.sample_rate)
         mel = melspectrogram(jnp.asarray(wav), cfg.audio)
@@ -749,7 +863,7 @@ class LipSyncPipeline:
                 "noise to the wav file and try again"
             )
 
-        out = self.synthesize(stabilized, mel, frames, coordinates, fps,
+        out = self.synthesize(stab_dev, mel, frames_dev, coordinates, fps,
                               static=cfg.infer.static, boxes_full=boxes_full)
 
         tmp_video = os.path.join(cfg.infer.tmp_dir, "result.npz")

@@ -304,6 +304,10 @@ def make_mouth_restorer(models: Dict, chunk: int = 16) -> Optional[Callable]:
             out[sl] = np.asarray(res)[: sl.stop - sl.start]
         return out
 
+    # exposed for device-time accounting (bench.py devtime): the fused
+    # one-dispatch program behind the hook
+    hook.mouth_full = mouth_full
+    hook.restorer = restorer
     return hook
 
 

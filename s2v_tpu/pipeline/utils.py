@@ -195,3 +195,39 @@ def mask_postprocess(mask: jnp.ndarray, thres: int = 20) -> jnp.ndarray:
     m = gaussian_blur(m, 101, 11.0)
     m = gaussian_blur(m, 101, 11.0)
     return m[..., 0] if squeeze else m
+
+
+_CHUNKER_JITS: Dict = {}
+
+
+def device_chunker(x, batch: int, pad_chunk=None):
+    """Fixed-size chunk provider over the leading (frame) axis.
+
+    Host input (numpy): upload one repeat-padded chunk per call (the
+    classic path). DEVICE input (jnp array): pad once on device to a
+    multiple of ``batch`` and serve chunks via ONE compiled dynamic-slice
+    program — zero bytes cross the host link and each chunk is one tiny
+    dispatch. This is what lets pipeline stages chain on device-resident
+    intermediates instead of re-uploading the clip at every stage."""
+    if not isinstance(x, jnp.ndarray):
+        x = np.ascontiguousarray(x)
+
+        def host_chunk(i):
+            c = x[i : i + batch]
+            pad = batch - len(c)
+            if pad:
+                c = np.concatenate([c, np.repeat(c[-1:], pad, 0)])
+            return jnp.asarray(c)
+
+        return host_chunk if pad_chunk is None else (
+            lambda i: jnp.asarray(pad_chunk(x, i, batch)))
+    n = x.shape[0]
+    pad = (-n) % batch
+    if pad:
+        x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)])
+    key = (batch, x.shape[1:], str(x.dtype))
+    if key not in _CHUNKER_JITS:
+        _CHUNKER_JITS[key] = jax.jit(
+            lambda a, i: jax.lax.dynamic_slice_in_dim(a, i, batch))
+    slicer = _CHUNKER_JITS[key]
+    return lambda i: slicer(x, i)

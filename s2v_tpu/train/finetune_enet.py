@@ -49,6 +49,7 @@ def make_enet_finetune_step(
     mesh: Optional[Mesh] = None,
     id_embed_fn: Optional[Callable] = None,
     vgg_variables: Optional[Dict] = None,
+    lnet_res_blocks: int = 9,
 ):
     """Returns (state, step_fn). Batches: dict(mel [B,80,16,1],
     face [B,384,384,6], ref [B,384,384,3], target [B,384,384,3]).
@@ -58,7 +59,7 @@ def make_enet_finetune_step(
     self-contained Laplacian-pyramid stand-in. ``id_embed_fn`` supplies the
     identity term (the reference's WIP "ArcFaceLoss", training.py:47-92 —
     a 3DMM/embedding distance; see cli.make_id_embed_fn)."""
-    model = ENet()
+    model = ENet(lnet_res_blocks=lnet_res_blocks)
     batch_stats = variables.get("batch_stats", {})
 
     # multi_transform: frozen params get zero updates (optax.masked would

@@ -43,7 +43,8 @@ def test_visual_encoder_shapes(rng):
 def test_lnet_forward_jit(rng):
     mel = jnp.zeros((2, 80, 16, 1))
     face = jnp.zeros((2, 96, 96, 6))
-    model = LNet()
+    # slim decoder: full 9-block depth is covered by test_weight_parity
+    model = LNet(num_res_blocks=2)
     var = model.init(rng, mel, face)
     out = jax.jit(lambda v, a, f: model.apply(v, a, f))(var, mel, face)
     assert out.shape == (2, 96, 96, 3)
@@ -72,7 +73,8 @@ def test_enet_forward_jit(rng):
     mel = jnp.zeros((1, 80, 16, 1))
     face = jnp.zeros((1, 384, 384, 6))
     gt = jnp.zeros((1, 384, 384, 3))
-    model = ENet()
+    # slim LNet: full depth is covered by test_weight_parity
+    model = ENet(lnet_res_blocks=2)
     var = model.init(rng, mel, face, gt)
     pred, low_res = jax.jit(lambda v, a, f, g: model.apply(v, a, f, g))(
         var, mel, face, gt
@@ -89,7 +91,7 @@ def test_enet_lnet_frozen(rng):
     mel = jnp.zeros((1, 80, 16, 1))
     face = jnp.ones((1, 384, 384, 6)) * 0.5
     gt = jnp.ones((1, 384, 384, 3)) * 0.5
-    model = ENet()
+    model = ENet(lnet_res_blocks=2)
     var = model.init(rng, mel, face, gt)
 
     def loss_fn(params):

@@ -65,7 +65,10 @@ def pipeline():
     k1, k2, k3 = jax.random.split(rng, 3)
     recon_vars = ReconNet().init(k1, jnp.zeros((1, 224, 224, 3)))
     dnet_vars = DNet().init(k2, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 26, 73)))
-    enet_vars = ENet().init(
+    # slim LNet decoder: full 9-block depth is covered by
+    # test_weight_parity; this fixture tests the pipeline plumbing
+    enet = ENet(lnet_res_blocks=2)
+    enet_vars = enet.init(
         k3, jnp.zeros((1, 80, 16, 1)), jnp.zeros((1, 384, 384, 6)),
         jnp.zeros((1, 384, 384, 3)),
     )

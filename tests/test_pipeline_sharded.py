@@ -1,0 +1,116 @@
+"""Multi-device pipeline inference: the REAL LipSyncPipeline stages (Step 3
+DNet stabilization + Step 6 ENet synthesis/paste-back) run with the frame
+axis sharded data=8 across the CPU mesh and must match the single-device
+output — the rebuild's sequence parallelism (SURVEY §7.8)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from s2v_tpu.models import DNet, ENet
+from s2v_tpu.parallel.mesh import make_mesh
+from s2v_tpu.pipeline.inference import LipSyncPipeline, PipelineModels
+from s2v_tpu.utils.config import PipelineConfig, override
+from test_pipeline_e2e import synthetic_landmarks
+
+RNG = np.random.RandomState(31)
+N, H, W = 8, 160, 144
+
+
+def _make_pipeline(models, mesh):
+    # f32: in bf16 the partitioned and single-device programs fuse (and
+    # round) differently — deep-network drift up to ~20/255 that says
+    # nothing about sharding correctness; f32 isolates the property
+    cfg = override(PipelineConfig(), {"infer.lnet_batch_size": 8,
+                                      "model.dtype": "float32"})
+    pipe = LipSyncPipeline(cfg, models, mesh=mesh)
+
+    def fake_boxes(frames, batch=8):
+        h, w = frames.shape[1:3]
+        cx, cy, s = w / 2, h / 2, min(h, w) * 0.3
+        return np.tile(
+            np.asarray([cx - s, cy - s, cx + s, cy + s], np.float32),
+            (len(frames), 1))
+
+    def fake_landmarks(frames, batch=8, return_boxes=False):
+        lms = synthetic_landmarks(0, *frames.shape[1:3])
+        lms = np.repeat(
+            synthetic_landmarks(1, *frames.shape[1:3]), len(frames), 0)
+        return (lms, fake_boxes(frames)) if return_boxes else lms
+
+    pipe.extract_landmarks = fake_landmarks
+    pipe.detect_boxes = fake_boxes
+    return pipe
+
+
+@pytest.fixture(scope="module")
+def shared_models():
+    rng = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(rng)
+    dnet_vars = DNet().init(k1, jnp.zeros((1, 256, 256, 3)),
+                            jnp.zeros((1, 26, 73)))
+    enet_vars = ENet(lnet_res_blocks=2).init(
+        k2, jnp.zeros((1, 80, 16, 1)), jnp.zeros((1, 384, 384, 6)),
+        jnp.zeros((1, 384, 384, 3)))
+    return PipelineModels(dnet=dnet_vars, enet=enet_vars,
+                          expression=np.zeros((64,), np.float32))
+
+
+@pytest.mark.slow
+def test_step3_step6_sharded_matches_single_device(shared_models):
+    mesh = make_mesh(8, 1)
+    frames_256 = (RNG.rand(N, 256, 256, 3) * 255).astype(np.uint8)
+    semantic = (RNG.rand(N, 262).astype(np.float32) * 0.5 + 0.25)
+    full_frames = (RNG.rand(N, H, W, 3) * 255).astype(np.uint8)
+    mel = jnp.asarray(RNG.rand(80, 35).astype(np.float32))
+    coords = (10, 150, 8, 140)
+
+    outs = {}
+    for name, m in (("single", None), ("sharded", mesh)):
+        pipe = _make_pipeline(shared_models, m)
+        stab = pipe.stabilize(frames_256, semantic, batch=8)
+        boxes = pipe.detect_boxes(full_frames)
+        out = pipe.synthesize(stab, mel, full_frames, coords, fps=25.0,
+                              boxes_full=boxes)
+        outs[name] = (stab, out)
+        if m is not None:
+            # the chunk inputs really are partitioned across 8 devices
+            probe = pipe._dev(frames_256)
+            assert len(probe.sharding.device_set) == 8
+
+    for a, b in zip(outs["single"], outs["sharded"]):
+        assert a.shape == b.shape and a.dtype == np.uint8
+        diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        # identical math, different partitioning: XLA picks different conv
+        # tilings/accumulation orders per layout, so deep-net outputs drift
+        # a few ulps — at uint8 scale that is single-digit flips on a tiny
+        # pixel fraction (measured: mean 0.09, max 3 on this fixture)
+        assert diff.mean() < 0.5, (diff.mean(), diff.max())
+        assert (diff <= 2).mean() > 0.99, (diff.mean(), diff.max())
+        assert diff.max() <= 8, diff.max()
+
+
+@pytest.mark.slow
+def test_dryrun_full_depth_lnet():
+    """CI-slow: the multichip dryrun at production LNet depth (9 FFC-ADAIN
+    blocks per level) — S2V_DRYRUN_BLOCKS exercises the full graph."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    env["S2V_DRYRUN_BLOCKS"] = "9"
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "import sys; sys.path.insert(0, '/root/repo'); "
+        "from __graft_entry__ import _dryrun_impl; _dryrun_impl(8)"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          cwd="/root/repo", capture_output=True, text=True,
+                          timeout=1800)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ok" in proc.stdout

@@ -55,7 +55,8 @@ def test_style_conv_mask_selects_only_style_convs():
 def enet_variables():
     from s2v_tpu.models import ENet
 
-    return ENet().init(
+    # slim LNet decoder (full depth covered by test_weight_parity)
+    return ENet(lnet_res_blocks=2).init(
         jax.random.PRNGKey(0), jnp.zeros((1, 80, 16, 1)),
         jnp.zeros((1, 384, 384, 6)), jnp.zeros((1, 384, 384, 3)),
     )
@@ -66,7 +67,8 @@ def test_enet_finetune_updates_only_style_convs(enet_variables):
     from s2v_tpu.train.finetune_enet import make_enet_finetune_step
 
     variables = enet_variables
-    state, step_fn = make_enet_finetune_step(variables, TrainConfig(lr=1e-3))
+    state, step_fn = make_enet_finetune_step(variables, TrainConfig(lr=1e-3),
+                                             lnet_res_blocks=2)
     batch = {
         "mel": jnp.asarray(RNG.rand(1, 80, 16, 1).astype(np.float32)),
         "face": jnp.asarray(RNG.rand(1, 384, 384, 6).astype(np.float32)),
@@ -106,7 +108,7 @@ def test_enet_finetune_real_vgg_and_identity_terms(enet_variables):
     vgg_vars = VGG16Features().init(k2, jnp.zeros((1, 224, 224, 3)))
     recon_vars = ReconNet().init(k3, jnp.zeros((1, 224, 224, 3)))
     state, step_fn = make_enet_finetune_step(
-        variables, TrainConfig(lr=1e-3),
+        variables, TrainConfig(lr=1e-3), lnet_res_blocks=2,
         id_embed_fn=make_id_embed_fn(recon_vars), vgg_variables=vgg_vars,
     )
     batch = {
