@@ -107,6 +107,23 @@ def _fir_down_kernel(x_ref, o_ref, *, taps, down, tile_oh, w_out, c):
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
+def _plan_tile_oh(out_h: int, out_w: int, c: int,
+                  n_taps: int = 16) -> int | None:
+    """Largest row-tile whose Mosaic working set fits scoped VMEM.
+
+    Mosaic hoists the per-tap lane-shifted slice+cast buffers, so in the
+    worst case ALL kh*kw tap tiles are live together with the accumulator
+    (measured on v5e: out [512,512,64] with 16 taps and tile_oh=8 OOM'd
+    the 16 MB scoped stack at ~16 live 1.05 MB tiles). Budget
+    (n_taps + 2) live f32 tiles against 14 MB; None -> use the XLA path.
+    """
+    for t in (16, 8, 4, 2, 1):
+        if (out_h % t == 0
+                and (n_taps + 2) * t * out_w * c * 4 <= 14 * 1024 * 1024):
+            return t
+    return None
+
+
 def upfirdn2d_pallas(x, kernel, up: int = 1, down: int = 1,
                      pad: Tuple[int, int] = (0, 0)):
     kernel = np.asarray(kernel, np.float32)
@@ -117,9 +134,9 @@ def upfirdn2d_pallas(x, kernel, up: int = 1, down: int = 1,
     out_h = (hp - kh) // down + 1
     out_w = (wp - kw) // down + 1
 
-    tile_oh = 16
-    while tile_oh > 1 and out_h % tile_oh != 0:
-        tile_oh //= 2
+    tile_oh = _plan_tile_oh(out_h, out_w, c, n_taps=kh * kw)
+    if tile_oh is None:
+        return upfirdn2d_ref(x, kernel, up, down, pad)
     n_tiles = out_h // tile_oh
     # block height/width padded to multiples of ``down`` for the phase views
     bh = tile_oh * down + kh - 1
@@ -166,26 +183,17 @@ def upfirdn2d_pallas(x, kernel, up: int = 1, down: int = 1,
     return out
 
 
-# VMEM budget for the Pallas fast path (bytes): halo'd block + accumulator
-_VMEM_BUDGET = 8 * 1024 * 1024
-
-
 def upfirdn2d(x, kernel, up: int = 1, down: int = 1,
               pad: Tuple[int, int] = (0, 0), use_pallas: bool = True):
     """NHWC upfirdn2d with the reference op's exact semantics.
 
     Chooses the Pallas kernel when the working set fits VMEM and the
     platform compiles Mosaic; otherwise the XLA depthwise path (still fast —
-    XLA fuses the stuff/pad/conv chain).
+    XLA fuses the stuff/pad/conv chain). The VMEM fit decision lives in
+    ``_plan_tile_oh`` and ``upfirdn2d_pallas`` falls back by itself, so the
+    gate here only needs the platform check.
     """
-    kernel = np.asarray(kernel, np.float32)
-    kh, kw = kernel.shape
-    b, h, w, c = x.shape
-    itemsize = np.dtype(x.dtype).itemsize
-    bh = 8 * down + kh - 1
-    wp = w * up + pad[0] + pad[1]
-    fits = (bh * wp * c + 8 * wp * c * 2) * itemsize < _VMEM_BUDGET
     on_tpu = jax.default_backend() not in ("cpu",)
-    if use_pallas and fits and on_tpu:
+    if use_pallas and on_tpu:
         return upfirdn2d_pallas(x, kernel, up, down, pad)
     return upfirdn2d_ref(x, kernel, up, down, pad)

@@ -308,10 +308,16 @@ class FaceEnhancer:
             (face_enhancement.py:144-160). Returns (tmp_img, full_mask,
             mask_sharp_warped) at the frame size."""
             hw = out_shape_like.shape[1:3]
-            tmp_img = affine_warp(ef.astype(jnp.float32), tfm_invs, hw)
-            full_mask = affine_warp(tmp_mask, tfm_invs, hw)
             ms = resize_bilinear(mask_sharp512, (s, s))
-            mask_sharp_w = affine_warp(ms, tfm_invs, hw)
+            # one 5-channel warp instead of three: gather descriptors (the
+            # cost driver) scale with pixels, not channels
+            packed = affine_warp(
+                jnp.concatenate(
+                    [ef.astype(jnp.float32), tmp_mask, ms], axis=-1),
+                tfm_invs, hw)
+            tmp_img = packed[..., :3]
+            full_mask = packed[..., 3:4]
+            mask_sharp_w = packed[..., 4:5]
             # cv2.GaussianBlur(ksize=(0,0), sigma=1) on float -> ksize 9
             # (face_enhancement.py:162)
             mask_sharp_w = gaussian_blur(mask_sharp_w, 9, 1.0)
@@ -367,13 +373,17 @@ class FaceEnhancer:
             ef, tmp_mask, ms512 = faces_and_masks(
                 vars_gan, vars_parse, fc_u8, tfms, small, do_enhance)
             hw = fc_u8.shape[1:3]
-            # tfm maps frame->crop; inverse=True makes it the paste warp
-            tmp_img = affine_warp(ef.astype(jnp.float32), tfms, hw,
-                                  inverse=True)
-            full_mask = affine_warp(tmp_mask, tfms, hw, inverse=True)
+            # tfm maps frame->crop; inverse=True makes it the paste warp.
+            # One 5-channel warp instead of three (descriptor count, not
+            # channel count, is what gathers pay for).
             ms = resize_bilinear(ms512, (s, s))
-            mask_sharp_w = gaussian_blur(
-                affine_warp(ms, tfms, hw, inverse=True), 9, 1.0)
+            packed = affine_warp(
+                jnp.concatenate(
+                    [ef.astype(jnp.float32), tmp_mask, ms], axis=-1),
+                tfms, hw, inverse=True)
+            tmp_img = packed[..., :3]
+            full_mask = packed[..., 3:4]
+            mask_sharp_w = gaussian_blur(packed[..., 4:5], 9, 1.0)
             if mode == "sr":
                 return composite_sr(ori_u8, tmp_img, full_mask, valid)
             if mode == "possion":

@@ -543,9 +543,13 @@ class LipSyncPipeline:
                 ff = full_u8.astype(jnp.float32)
                 region = ff[:, oy1:oy2, ox1:ox2]
                 region_256 = resize_bilinear(region, (256, 256))
-                projected = warp_by_grid(crops, pg)
-                mask = warp_by_grid(
-                    jnp.ones(crops.shape[:3] + (1,), jnp.float32), pg)
+                # RGB + coverage mask share one 4-channel perspective warp
+                # (gather cost scales with pixels, not channels)
+                packed = warp_by_grid(
+                    jnp.concatenate(
+                        [crops, jnp.ones(crops.shape[:3] + (1,),
+                                         jnp.float32)], axis=-1), pg)
+                projected, mask = packed[..., :3], packed[..., 3:4]
                 pasted = projected * mask + region_256 * (1 - mask)
                 back = jnp.clip(
                     resize_bilinear(pasted, region.shape[1:3]), 0, 255)

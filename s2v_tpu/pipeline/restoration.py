@@ -91,11 +91,16 @@ class GFPGANRestorer:
             restored = jnp.clip(
                 (out.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0) * 255.0
             hw = frames.shape[1:3]
-            pasted = affine_warp(restored, tfm_invs, hw)
-            mask = affine_warp(
-                jnp.ones((frames.shape[0], s, s, 1), jnp.float32),
-                tfm_invs, hw,
-            )
+            # fused 4-channel warp: restored RGB + the all-ones coverage
+            # mask share one gather (channels are nearly free, descriptors
+            # are not)
+            packed = affine_warp(
+                jnp.concatenate(
+                    [restored,
+                     jnp.ones((frames.shape[0], s, s, 1), jnp.float32)],
+                    axis=-1),
+                tfm_invs, hw)
+            pasted, mask = packed[..., :3], packed[..., 3:4]
             out = pasted * mask + frames * (1.0 - mask)
             out = jnp.where(valid[:, None, None, None], out, frames)
             return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
@@ -125,12 +130,15 @@ class GFPGANRestorer:
                 (out.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0) * 255.0
             hw = frames.shape[1:3]
             # tfm maps frame->crop: passing it with inverse=True IS the
-            # paste-back warp (no explicit 2x3 inversion needed)
-            pasted = affine_warp(restored, tfms, hw, inverse=True)
-            mask = affine_warp(
-                jnp.ones((frames.shape[0], s, s, 1), jnp.float32),
-                tfms, hw, inverse=True,
-            )
+            # paste-back warp (no explicit 2x3 inversion needed). RGB and
+            # the coverage mask share one 4-channel gather.
+            packed = affine_warp(
+                jnp.concatenate(
+                    [restored,
+                     jnp.ones((frames.shape[0], s, s, 1), jnp.float32)],
+                    axis=-1),
+                tfms, hw, inverse=True)
+            pasted, mask = packed[..., :3], packed[..., 3:4]
             out = pasted * mask + frames * (1.0 - mask)
             out = jnp.where(valid[:, None, None, None], out, frames)
             return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
