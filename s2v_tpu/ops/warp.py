@@ -91,8 +91,18 @@ def grid_sample_bilinear(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     xs = jnp.clip(ix0i.astype(jnp.int32), 0, max(w - 2, 0)).reshape(b, n)
     starts = jnp.stack([ys, xs], axis=-1)  # [B, n, 2]
 
+    # The gather's patch dims land in the output's TILED minor positions,
+    # so their placement decides the temp buffer's real HBM size. For the
+    # common sizes, patch-dims-last ([B,n,2,2,C]) compiles fast and runs at
+    # the gather-rate floor; the (8,128) tiling pads the tiny (2,2,C) minors
+    # ~40x, which is harmless at <=512^2 outputs but EXPLODES at 2048^2
+    # (8 GB temp for a 192 MB gather -> HBM OOM inside GPEN-BFR-2048's
+    # fused crop, measured v5e). Large outputs therefore emit the gather
+    # with offset dims FIRST ([B,2,2,C,n]): n rides the 128-lane minor,
+    # padding vanishes, and the 2048^2 warp runs 16% faster on top.
+    offset_first = n >= (1 << 20)
     dnums = lax.GatherDimensionNumbers(
-        offset_dims=(1, 2, 3),
+        offset_dims=(0, 1, 2) if offset_first else (1, 2, 3),
         collapsed_slice_dims=(),
         start_index_map=(0, 1),
     )
@@ -103,33 +113,39 @@ def grid_sample_bilinear(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
             mode=lax.GatherScatterMode.CLIP,
         )
 
-    patches = jax.vmap(gather_one)(image, starts)  # [B, n, 2, 2, C]
-    p00 = patches[:, :, 0, 0]
-    p01 = patches[:, :, 0, 1]
-    p10 = patches[:, :, 1, 0]
-    p11 = patches[:, :, 1, 1]
+    patches = jax.vmap(gather_one)(image, starts)
+    if offset_first:  # [B, 2, 2, C, n]
+        p00, p01 = patches[:, 0, 0], patches[:, 0, 1]
+        p10, p11 = patches[:, 1, 0], patches[:, 1, 1]
+        expand = lambda mask: mask[:, None, :]   # [B,n] -> [B,1,n]
+    else:  # [B, n, 2, 2, C]
+        p00, p01 = patches[:, :, 0, 0], patches[:, :, 0, 1]
+        p10, p11 = patches[:, :, 1, 0], patches[:, :, 1, 1]
+        expand = lambda mask: mask[..., None]    # [B,n] -> [B,n,1]
 
     def tap(dy, dx):
         row = iy0i.reshape(b, n) + dy
         col = ix0i.reshape(b, n) + dx
         r = row - ys  # in {0,1} whenever the tap is in-bounds
         s_ = col - xs
-        top = jnp.where((s_ == 0)[..., None], p00, p01)
-        bot = jnp.where((s_ == 0)[..., None], p10, p11)
-        v = jnp.where((r == 0)[..., None], top, bot)
+        top = jnp.where(expand(s_ == 0), p00, p01)
+        bot = jnp.where(expand(s_ == 0), p10, p11)
+        v = jnp.where(expand(r == 0), top, bot)
         inb = ((row >= 0) & (row <= h - 1) & (col >= 0) & (col <= w - 1))
-        return v * inb[..., None].astype(image.dtype)
+        return v * expand(inb).astype(image.dtype)
 
     v00 = tap(0.0, 0.0)
     v01 = tap(0.0, 1.0)
     v10 = tap(1.0, 0.0)
     v11 = tap(1.0, 1.0)
 
-    fx = fx.reshape(b, n)[..., None].astype(image.dtype)
-    fy = fy.reshape(b, n)[..., None].astype(image.dtype)
+    fx = expand(fx.reshape(b, n)).astype(image.dtype)
+    fy = expand(fy.reshape(b, n)).astype(image.dtype)
     top = v00 * (1.0 - fx) + v01 * fx
     bot = v10 * (1.0 - fx) + v11 * fx
     out = top * (1.0 - fy) + bot * fy
+    if offset_first:  # [B, C, n] -> [B, *out, C]
+        out = jnp.moveaxis(out, 1, -1)
     return out.reshape(b, *out_shape, c)
 
 

@@ -354,6 +354,35 @@ class FaceEnhancer:
 
         ref5 = jnp.asarray(self.reference_5pts)
 
+        @jax.jit
+        def detect_tfms(vars_retina, fc_u8):
+            """Detect + closed-form device umeyama: the small head program
+            of the split (>=1024) path. Returns (tfms, small, valid) — all
+            tiny device arrays chained into the next stage."""
+            x = fc_u8.astype(jnp.float32)
+            bgr = x[..., ::-1] - jnp.asarray(RETINA_MEAN)
+            boxes, landms, valid = detect_faces(
+                retina.apply(vars_retina, bgr), fc_u8.shape[1:3], threshold)
+            tfms, _ = umeyama_similarity_batched(landms, ref5)
+            small = jnp.minimum(boxes[:, 2] - boxes[:, 0],
+                                boxes[:, 3] - boxes[:, 1]) < 100
+            return tfms, small, valid
+
+        @jax.jit
+        def paste_fwd(ef, tmp_mask, mask_sharp512, tfms, out_shape_like):
+            """The fused path's paste, program-split: ``tfms`` maps frame->
+            crop, applied with inverse=True — bit-identical math to the
+            corresponding lines of ``enhance_full`` (no re-inversion, so
+            the split path's uint8 output equals the fused program's)."""
+            hw = out_shape_like.shape[1:3]
+            ms = resize_bilinear(mask_sharp512, (s, s))
+            packed = affine_warp(
+                jnp.concatenate(
+                    [ef.astype(jnp.float32), tmp_mask, ms], axis=-1),
+                tfms, hw, inverse=True)
+            return (packed[..., :3], packed[..., 3:4],
+                    gaussian_blur(packed[..., 4:5], 9, 1.0))
+
         @functools.partial(jax.jit, static_argnums=(0, 1))
         def enhance_full(do_enhance, mode, vars_retina, vars_gan, vars_parse,
                          fc_u8, ori_u8, mb):
@@ -397,6 +426,15 @@ class FaceEnhancer:
                 ori_u8, tmp_img, full_mask, mask_sharp_w, valid)
 
         self._detect = detect
+        self._detect_tfms = detect_tfms
+        self._paste_fwd = paste_fwd
+        # ONE fused program per chunk compiles fine up to 512^2 crops but
+        # the 2048 configuration consistently aborts the remote compile
+        # helper after ~90-105 s (v5e relay probe 2026-08; each piece
+        # compiles in <11 s alone) — an apparent compile-time cap. The
+        # split path chains the same pieces as 4 device programs with no
+        # host round-trip, so it costs only extra dispatches.
+        self._fuse_full = in_size <= 512
         self._sr = sr
         self._up2 = {}
         self._faces_and_masks = faces_and_masks
@@ -427,6 +465,31 @@ class FaceEnhancer:
             fh = boxes[i][3] - boxes[i][1]
             small[i] = min(fh, fw) < 100  # face_enhancement.py:153
         return tfms, tfm_invs, small
+
+    def _enhance_split(self, do_enhance: bool, mode: str, fc_u8, ori_u8, mb):
+        """The enhance_full chain as four chained device programs
+        (detect+umeyama -> faces_and_masks -> paste -> composite) for crop
+        sizes whose single fused program aborts the compile helper (see
+        ``_fuse_full``). Inputs/outputs and semantics are identical to
+        ``_enhance_full``; intermediates never leave the device, so the
+        only extra cost is three async dispatches per chunk."""
+        tfms, small, valid = self._detect_tfms(
+            self.models["retinaface"], fc_u8)
+        ef, tmp_mask, ms512 = self._faces_and_masks(
+            self.models["facegan"], self.models["parsenet"], fc_u8, tfms,
+            small, bool(do_enhance))
+        tmp_img, full_mask, mask_sharp_w = self._paste_fwd(
+            ef, tmp_mask, ms512, tfms, ori_u8)
+        if mode == "sr":
+            return self._composite_sr(ori_u8, tmp_img, full_mask, valid)
+        if mode == "possion":
+            return self._composite_laplacian(
+                ori_u8, tmp_img, mask_sharp_w * mb, valid)
+        if mode == "possion_nobbox":
+            return self._composite_laplacian(
+                ori_u8, tmp_img, full_mask, valid)
+        return self._composite_default(
+            ori_u8, tmp_img, full_mask, mask_sharp_w, valid)
 
     def process_batch(self, frames_rgb,
                       ori_frames=None,
@@ -518,11 +581,16 @@ class FaceEnhancer:
                         mb[j, y1 : max(y2 - 5, y1), x1:x2] = 1.0
                 else:
                     mb = np.ones((1, 1, 1, 1), np.float32)
-                pending.append((sl, self._enhance_full(
-                    bool(face_enhance), mode, self.models["retinaface"],
-                    self.models["facegan"], self.models["parsenet"],
-                    cx(i), cori(i), jnp.asarray(mb),
-                )))
+                if self._fuse_full:
+                    pending.append((sl, self._enhance_full(
+                        bool(face_enhance), mode, self.models["retinaface"],
+                        self.models["facegan"], self.models["parsenet"],
+                        cx(i), cori(i), jnp.asarray(mb),
+                    )))
+                else:
+                    pending.append((sl, self._enhance_split(
+                        bool(face_enhance), mode, cx(i), cori(i),
+                        jnp.asarray(mb))))
             if device_out:
                 return jnp.concatenate(
                     [res[: sl.stop - sl.start] for sl, res in pending])

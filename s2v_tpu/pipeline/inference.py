@@ -102,6 +102,10 @@ class LipSyncPipeline:
         # (S3FD/FAN/ReconNet) stay f32 — box/coefficient precision matters
         # and they are a small share of the FLOPs.
         self._dt = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+        # detection/landmark conv dtype (decode stays f32 regardless)
+        self._det_dt = (jnp.bfloat16
+                        if getattr(cfg.model, "detector_dtype", "float32")
+                        == "bfloat16" else jnp.float32)
         # multi-chip inference: a jax.sharding.Mesh shards the FRAME axis of
         # every stage program across the mesh's data axis (the rebuild's
         # sequence parallelism, SURVEY §7.8 — every model forward here is
@@ -141,11 +145,15 @@ class LipSyncPipeline:
         if "detect" not in self._jits:
             model = S3FD()
 
+            det_dt = self._det_dt
+
             @jax.jit
             def run(variables, frames_rgb):  # [B,H,W,3] u8/float RGB 0..255
                 bgr = frames_rgb.astype(jnp.float32)[..., ::-1] - jnp.asarray(
                     BGR_MEAN)
-                outs = model.apply(variables, bgr)
+                outs = model.apply(variables, bgr.astype(det_dt))
+                outs = jax.tree_util.tree_map(
+                    lambda t: t.astype(jnp.float32), outs)
                 return best_boxes(outs)
 
             self._jits["detect"] = run
@@ -155,13 +163,16 @@ class LipSyncPipeline:
         if "fan" not in self._jits:
             model = FAN()
 
+            det_dt = self._det_dt
+
             @jax.jit
             def run(variables, frames_rgb, boxes):  # frames 0..255
                 frames_rgb = frames_rgb.astype(jnp.float32)
                 centers, scales = box_to_center_scale(boxes)
                 crops = crop_faces_batched(frames_rgb, centers, scales)
-                hm = model.apply(variables, crops)
-                return heatmaps_to_landmarks(hm, centers, scales)
+                hm = model.apply(variables, crops.astype(det_dt))
+                return heatmaps_to_landmarks(
+                    hm.astype(jnp.float32), centers, scales)
 
             self._jits["fan"] = run
         return self._jits["fan"]
@@ -175,15 +186,21 @@ class LipSyncPipeline:
             s3fd = S3FD()
             fan = FAN()
 
+            det_dt = self._det_dt
+
             @jax.jit
             def run(vars_s3fd, vars_fan, frames_rgb):
                 x = frames_rgb.astype(jnp.float32)
                 bgr = x[..., ::-1] - jnp.asarray(BGR_MEAN)
-                boxes, valid = best_boxes(s3fd.apply(vars_s3fd, bgr))
+                outs = s3fd.apply(vars_s3fd, bgr.astype(det_dt))
+                outs = jax.tree_util.tree_map(
+                    lambda t: t.astype(jnp.float32), outs)
+                boxes, valid = best_boxes(outs)
                 centers, scales = box_to_center_scale(boxes)
                 crops = crop_faces_batched(x, centers, scales)
-                hm = fan.apply(vars_fan, crops)
-                lms = heatmaps_to_landmarks(hm, centers, scales)
+                hm = fan.apply(vars_fan, crops.astype(det_dt))
+                lms = heatmaps_to_landmarks(
+                    hm.astype(jnp.float32), centers, scales)
                 return boxes, valid, lms
 
             self._jits["detect_fan"] = run

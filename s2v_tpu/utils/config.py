@@ -60,6 +60,12 @@ class ModelConfig:
     coeff_nc: int = 73           # 70 coeffs + 3 trans params fed to MappingNet
     dtype: str = "bfloat16"      # compute dtype on TPU
     param_dtype: str = "float32"
+    # Conv compute dtype for the detection/landmark sweeps (S3FD+FAN).
+    # float32 matches the reference bit-for-bit tolerance; bfloat16 runs
+    # the MXU at full rate (~2x on the landmark programs) with sub-pixel
+    # landmark jitter (heatmap argmax is robust; the +-0.25 refinement
+    # can flip on near-ties). Box/landmark decode always runs f32.
+    detector_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

@@ -87,3 +87,40 @@ def test_face_enhancer_smoke():
     assert out.shape == frame.shape and out.dtype == np.uint8
     out2 = enhancer(frame, laplacian_blend=True, bbox=(10, 50, 10, 50))
     assert out2.shape == frame.shape
+
+
+@pytest.mark.slow
+def test_enhance_split_matches_fused():
+    """The >=1024 split path (4 chained device programs) must equal the
+    fused single program bit-for-bit — same jits, same math, only the
+    program boundaries differ. Validated at a small in_size where both
+    compile everywhere."""
+    from s2v_tpu.models.gpen import FullGenerator
+    from s2v_tpu.models.parsenet import ParseNet
+    from s2v_tpu.models.retinaface import RetinaFace
+
+    rng = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    in_size = 64
+    models = {
+        "retinaface": RetinaFace().init(k1, jnp.zeros((1, 64, 64, 3))),
+        "facegan": FullGenerator(size=in_size).init(
+            k2, jnp.zeros((1, in_size, in_size, 3))
+        ),
+        "parsenet": ParseNet().init(k3, jnp.zeros((1, 512, 512, 3))),
+    }
+    enhancer = FaceEnhancer(models, in_size=in_size, threshold=-1.0,
+                            chunk=2)
+    frames = (RNG.rand(3, 64, 64, 3) * 255).astype(np.uint8)
+
+    for kwargs in (
+        {"face_enhance": True},
+        {"face_enhance": False, "possion_blending": True},
+        {"face_enhance": True, "possion_blending": True,
+         "bboxes": np.asarray([[10, 50, 10, 50]] * 3)},
+    ):
+        enhancer._fuse_full = True
+        fused = enhancer.process_batch(frames, **kwargs)
+        enhancer._fuse_full = False
+        split = enhancer.process_batch(frames, **kwargs)
+        np.testing.assert_array_equal(fused, split)

@@ -74,6 +74,23 @@ def test_grid_sample_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_grid_sample_offset_first_layout_matches_torch():
+    """Outputs >= 2^20 pixels switch the gather to the offset-dims-first
+    layout (ops/warp.py: kills the TPU tile-padding blowup at 2048^2);
+    identical math, different buffer order — verify vs torch at a
+    just-over-threshold output size."""
+    x = RNG.randn(1, 24, 24, 2).astype(np.float32)
+    grid = (RNG.rand(1, 1024, 1025, 2).astype(np.float32) * 2.4 - 1.2)
+    want = to_nhwc(
+        F.grid_sample(
+            nchw(x), torch.from_numpy(grid), mode="bilinear",
+            padding_mode="zeros", align_corners=False,
+        )
+    )
+    got = np.asarray(grid_sample_bilinear(jnp.asarray(x), jnp.asarray(grid)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_warp_image_matches_reference_flow_path():
     """Mirror futils/flow_util.py: flow at 8^2 warping a 32^2 image."""
     img = RNG.randn(2, 32, 32, 3).astype(np.float32)

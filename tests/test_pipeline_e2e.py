@@ -244,3 +244,40 @@ def test_run_with_hooks_and_cache(pipeline, tmp_path):
     finally:
         pipe.cfg, pipe.models, pipe.stabilize = old_cfg, old_models, real_stabilize
         pipe._jits = old_jits
+
+
+def test_landmark_program_bf16_smoke():
+    """The real fused S3FD+FAN program runs in both detector dtypes.
+
+    Random weights make bf16-vs-f32 landmark deltas meaningless (heatmap
+    argmax sits on near-ties), so this asserts the bf16 program's contract
+    only: shapes, finiteness, and f32 outputs from the decode. Numeric
+    tolerance vs f32 needs real checkpoints (documented in COMPONENTS.md).
+    """
+    rng = jax.random.PRNGKey(5)
+    from s2v_tpu.models.fan import FAN
+    from s2v_tpu.models.s3fd import S3FD
+
+    frames = jnp.asarray((RNG.rand(2, 128, 128, 3) * 255).astype(np.uint8))
+    s3fd_vars = S3FD().init(rng, jnp.zeros((1, 128, 128, 3)))
+    fan_vars = FAN(num_modules=1).init(rng, jnp.zeros((1, 256, 256, 3)))
+
+    outs = {}
+    for det_dt in ("float32", "bfloat16"):
+        cfg = override(PipelineConfig(), {"model.detector_dtype": det_dt})
+        pipe = LipSyncPipeline(cfg, PipelineModels())
+        # num_modules=1 keeps the CPU compile small; the program structure
+        # (detect -> separable crop -> FAN -> decode) is identical
+        import s2v_tpu.pipeline.inference as inf_mod
+
+        orig = inf_mod.FAN
+        inf_mod.FAN = lambda: FAN(num_modules=1)
+        try:
+            run = pipe._landmark_fn()
+            boxes, valid, lms = run(s3fd_vars, fan_vars, frames)
+        finally:
+            inf_mod.FAN = orig
+        assert boxes.shape == (2, 4) and lms.shape == (2, 68, 2)
+        assert lms.dtype == jnp.float32
+        assert np.isfinite(np.asarray(lms)).all()
+        outs[det_dt] = np.asarray(lms)
