@@ -89,63 +89,77 @@ def grid_sample_bilinear(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     ix0i = jnp.nan_to_num(ix0, nan=-2.0, posinf=float(w), neginf=-2.0)
     ys = jnp.clip(iy0i.astype(jnp.int32), 0, max(h - 2, 0)).reshape(b, n)
     xs = jnp.clip(ix0i.astype(jnp.int32), 0, max(w - 2, 0)).reshape(b, n)
-    starts = jnp.stack([ys, xs], axis=-1)  # [B, n, 2]
 
-    # The gather's patch dims land in the output's TILED minor positions,
-    # so their placement decides the temp buffer's real HBM size. For the
-    # common sizes, patch-dims-last ([B,n,2,2,C]) compiles fast and runs at
-    # the gather-rate floor; the (8,128) tiling pads the tiny (2,2,C) minors
-    # ~40x, which is harmless at <=512^2 outputs but EXPLODES at 2048^2
-    # (8 GB temp for a 192 MB gather -> HBM OOM inside GPEN-BFR-2048's
-    # fused crop, measured v5e). Large outputs therefore emit the gather
-    # with offset dims FIRST ([B,2,2,C,n]): n rides the 128-lane minor,
-    # padding vanishes, and the 2048^2 warp runs 16% faster on top.
-    offset_first = n >= (1 << 20)
     dnums = lax.GatherDimensionNumbers(
-        offset_dims=(0, 1, 2) if offset_first else (1, 2, 3),
+        offset_dims=(1, 2, 3),
         collapsed_slice_dims=(),
         start_index_map=(0, 1),
     )
 
-    def gather_one(img, st):
-        return lax.gather(
-            img, st, dnums, slice_sizes=(2, 2, c),
-            mode=lax.GatherScatterMode.CLIP,
-        )
+    def interp(args):
+        """Gather + 4-tap lerp for one pixel group: each arg is [B, m]."""
+        ys_, xs_, ry_, rx_, fx_, fy_ = args
+        st = jnp.stack([ys_, xs_], axis=-1)  # [B, m, 2]
 
-    patches = jax.vmap(gather_one)(image, starts)
-    if offset_first:  # [B, 2, 2, C, n]
-        p00, p01 = patches[:, 0, 0], patches[:, 0, 1]
-        p10, p11 = patches[:, 1, 0], patches[:, 1, 1]
-        expand = lambda mask: mask[:, None, :]   # [B,n] -> [B,1,n]
-    else:  # [B, n, 2, 2, C]
+        def gather_one(img, s):
+            return lax.gather(
+                img, s, dnums, slice_sizes=(2, 2, c),
+                mode=lax.GatherScatterMode.CLIP,
+            )
+
+        patches = jax.vmap(gather_one)(image, st)  # [B, m, 2, 2, C]
         p00, p01 = patches[:, :, 0, 0], patches[:, :, 0, 1]
         p10, p11 = patches[:, :, 1, 0], patches[:, :, 1, 1]
-        expand = lambda mask: mask[..., None]    # [B,n] -> [B,n,1]
 
-    def tap(dy, dx):
-        row = iy0i.reshape(b, n) + dy
-        col = ix0i.reshape(b, n) + dx
-        r = row - ys  # in {0,1} whenever the tap is in-bounds
-        s_ = col - xs
-        top = jnp.where(expand(s_ == 0), p00, p01)
-        bot = jnp.where(expand(s_ == 0), p10, p11)
-        v = jnp.where(expand(r == 0), top, bot)
-        inb = ((row >= 0) & (row <= h - 1) & (col >= 0) & (col <= w - 1))
-        return v * expand(inb).astype(image.dtype)
+        def tap(dy, dx):
+            row = ry_ + dy
+            col = rx_ + dx
+            r = row - ys_.astype(row.dtype)  # {0,1} for in-bounds taps
+            s_ = col - xs_.astype(col.dtype)
+            top = jnp.where((s_ == 0)[..., None], p00, p01)
+            bot = jnp.where((s_ == 0)[..., None], p10, p11)
+            v = jnp.where((r == 0)[..., None], top, bot)
+            inb = ((row >= 0) & (row <= h - 1)
+                   & (col >= 0) & (col <= w - 1))
+            return v * inb[..., None].astype(image.dtype)
 
-    v00 = tap(0.0, 0.0)
-    v01 = tap(0.0, 1.0)
-    v10 = tap(1.0, 0.0)
-    v11 = tap(1.0, 1.0)
+        v00 = tap(0.0, 0.0)
+        v01 = tap(0.0, 1.0)
+        v10 = tap(1.0, 0.0)
+        v11 = tap(1.0, 1.0)
+        fxm = fx_[..., None].astype(image.dtype)
+        fym = fy_[..., None].astype(image.dtype)
+        top = v00 * (1.0 - fxm) + v01 * fxm
+        bot = v10 * (1.0 - fxm) + v11 * fxm
+        return top * (1.0 - fym) + bot * fym  # [B, m, C]
 
-    fx = expand(fx.reshape(b, n)).astype(image.dtype)
-    fy = expand(fy.reshape(b, n)).astype(image.dtype)
-    top = v00 * (1.0 - fx) + v01 * fx
-    bot = v10 * (1.0 - fx) + v11 * fx
-    out = top * (1.0 - fy) + bot * fy
-    if offset_first:  # [B, C, n] -> [B, *out, C]
-        out = jnp.moveaxis(out, 1, -1)
+    flats = (ys, xs, iy0i.reshape(b, n), ix0i.reshape(b, n),
+             fx.reshape(b, n), fy.reshape(b, n))
+
+    # The gather's patch dims land in the TPU output layout's TILED minor
+    # positions, so XLA pads the (2,2,C) minors of [B,n,2,2,C] 40-130x.
+    # Whether that padded temp is ever materialized is fusion-dependent —
+    # when it is, a 512^2 x batch-32 warp allocates 16 GB for 384 MB of
+    # patches and OOMs HBM (measured v5e; layout tricks don't help, the
+    # TPU gather lowering re-canonicalizes offset dims). Bound it by
+    # construction instead: big warps run the gather+lerp over pixel
+    # groups under ``lax.map`` — identical math, peak temp divided by the
+    # group count, ~zero overhead since the warp is gather-rate-bound.
+    limit = 1 << 19  # patches per group: <=1 GB padded temp worst-case
+    total = b * n
+    g = 0
+    if total > limit:
+        g_need = -(-total // limit)
+        g = next((k for k in range(g_need, min(4 * g_need, n) + 1)
+                  if n % k == 0), 0)
+    if g:
+        m = n // g
+        grouped = tuple(
+            a.reshape(b, g, m).swapaxes(0, 1) for a in flats)  # [g, B, m]
+        out = lax.map(interp, grouped)  # [g, B, m, C]
+        out = out.swapaxes(0, 1).reshape(b, n, c)
+    else:
+        out = interp(flats)
     return out.reshape(b, *out_shape, c)
 
 

@@ -41,21 +41,31 @@ def ref_degradations():
     """Import the reference module with its GPU/codec deps stubbed (cv2 and
     torchvision are absent from this image; the kernel functions under test
     touch neither)."""
+    import importlib.machinery
+
+    stubbed = []
     for name in ("cv2", "torchvision", "torchvision.transforms",
                  "torchvision.transforms.functional_tensor"):
         if name not in sys.modules:
             mod = types.ModuleType(name)
+            # a bare ModuleType has __spec__ = None, which makes any later
+            # importlib.util.find_spec(name) raise ValueError (transformers
+            # probes cv2 that way) — install a real spec
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
             if name.endswith("functional_tensor"):
                 mod.rgb_to_grayscale = lambda *a, **k: None
             if name == "cv2":
                 mod.COLOR_BGR2GRAY = 6
                 mod.IMWRITE_JPEG_QUALITY = 1
             sys.modules[name] = mod
+            stubbed.append(name)
     sys.path.insert(0, "/root/reference/third_part/GPEN/training/data_loader")
     import degradations as ref
 
     yield ref
     sys.path.remove("/root/reference/third_part/GPEN/training/data_loader")
+    for name in stubbed:
+        sys.modules.pop(name, None)
 
 
 def test_bivariate_gaussian_matches_reference(ref_degradations):

@@ -195,3 +195,19 @@ def test_paste_resize_boxes_matches_per_frame_loop():
             jnp.asarray(preds[k:k + 1]), (y2 - y1, x2 - x1)))[0]
         want[k, y1:y2, x1:x2] = p
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-3)
+
+
+def test_grid_sample_offset_first_batched_matches_torch():
+    """Batched offset-first form: batch is folded into the gather's channel
+    minor (ops/warp.py), so a per-frame indexing bug would smear frames
+    into each other — compare a 3-frame batch vs torch."""
+    x = RNG.randn(3, 20, 24, 5).astype(np.float32)
+    grid = (RNG.rand(3, 512, 360, 2).astype(np.float32) * 2.4 - 1.2)
+    want = to_nhwc(
+        F.grid_sample(
+            nchw(x), torch.from_numpy(grid), mode="bilinear",
+            padding_mode="zeros", align_corners=False,
+        )
+    )
+    got = np.asarray(grid_sample_bilinear(jnp.asarray(x), jnp.asarray(grid)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
