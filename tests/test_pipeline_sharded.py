@@ -101,8 +101,16 @@ def test_dryrun_full_depth_lnet():
     import sys
 
     env = dict(os.environ)
-    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
-                        + " --xla_force_host_platform_device_count=8").strip()
+    # 8 virtual devices time-slice ONE core here: the full-depth step can
+    # hold a device past XLA's CPU-collective stuck watchdog (default
+    # ~30 s; it SIGABRTs the process from inside AllGather) — raise both
+    # watchdog stages well past the worst observed step time.
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+        + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        + " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    ).strip()
     env["S2V_DRYRUN_BLOCKS"] = "9"
     code = (
         "import jax; jax.config.update('jax_platforms', 'cpu'); "
