@@ -92,9 +92,12 @@ def test_face_enhancer_smoke():
 @pytest.mark.slow
 def test_enhance_split_matches_fused():
     """The >=1024 split path (4 chained device programs) must equal the
-    fused single program bit-for-bit — same jits, same math, only the
-    program boundaries differ. Validated at a small in_size where both
-    compile everywhere."""
+    fused single program — same jits, same math, only the program
+    boundaries differ. XLA fuses each program independently, so f32
+    reassociation can move isolated pixels across a uint8 rounding
+    boundary (input-dependent: exact equality held for some module-RNG
+    orderings and not others) — assert within-1-gray-level agreement.
+    Validated at a small in_size where both compile everywhere."""
     from s2v_tpu.models.gpen import FullGenerator
     from s2v_tpu.models.parsenet import ParseNet
     from s2v_tpu.models.retinaface import RetinaFace
@@ -123,4 +126,5 @@ def test_enhance_split_matches_fused():
         fused = enhancer.process_batch(frames, **kwargs)
         enhancer._fuse_full = False
         split = enhancer.process_batch(frames, **kwargs)
-        np.testing.assert_array_equal(fused, split)
+        d = np.abs(fused.astype(np.int32) - split.astype(np.int32))
+        assert d.max() <= 1, (d.max(), (d > 0).mean())
