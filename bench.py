@@ -29,6 +29,7 @@ compile budget of the driver's bench window.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -36,6 +37,57 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+def _probe_backend(timeout_s: int = None, force_platform: str = None) -> dict:
+    """Bounded backend health probe, run in a SUBPROCESS so a hung relay
+    cannot wedge this process. This image's axon TPU relay, when down, makes
+    ``jax.devices()`` block forever (round-3 failure: BENCH_r03 rc=1 with a
+    raw traceback, MULTICHIP_r03 rc=124); the bench contract is one JSON
+    line no matter what, so backend availability must be established with a
+    hard timeout before any jax call in the parent.
+
+    ``force_platform`` pins the probe to a platform via jax.config (env
+    JAX_PLATFORMS does not survive this image's sitecustomize register());
+    None probes whatever the image default is — the real pre-flight check."""
+    timeout_s = timeout_s or int(
+        os.environ.get("S2V_BENCH_PROBE_TIMEOUT", "120"))
+    pin = (f"jax.config.update('jax_platforms', {force_platform!r}); "
+           if force_platform else "")
+    code = ("import jax, json; " + pin + "d = jax.devices(); "
+            "print(json.dumps({'platform': d[0].platform, 'n': len(d), "
+            "'device': str(d[0])}))")
+    t0 = time.time()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {"ok": False,
+                "reason": f"jax.devices() did not return within {timeout_s}s "
+                          "(backend hang — relay outage)"}
+    if proc.returncode != 0:
+        return {"ok": False,
+                "reason": f"backend init failed (rc={proc.returncode})",
+                "stderr_tail": proc.stderr.strip()[-300:]}
+    try:
+        info = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        return {"ok": False, "reason": "unparseable probe output",
+                "stdout_tail": proc.stdout.strip()[-300:]}
+    return {"ok": True, "probe_s": round(time.time() - t0, 1), **info}
+
+
+def _outage_line(probe: dict, context: str) -> str:
+    return json.dumps({
+        "metric": "device_e2e_fps_384px",
+        "value": 0.0,
+        "unit": "frames/sec",
+        "vs_baseline": 0.0,
+        "error": "tpu backend unavailable",
+        "detail": {"probe": probe, "context": context},
+    })
 
 
 def _sync(v):
@@ -671,42 +723,59 @@ def bench_devtime(with_final: bool = False, n_iter: int = 12):
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
-    if mode == "generator":
-        print(json.dumps(bench_generator(
-            int(sys.argv[2]) if len(sys.argv) > 2 else 16)))
-        return
-    if mode == "e2e":
-        print(json.dumps(bench_e2e(
-            with_final=os.environ.get("S2V_BENCH_FULL") == "1")))
-        return
-    if mode == "devtime":
-        print(json.dumps(bench_devtime(
-            with_final=os.environ.get("S2V_BENCH_FULL") == "1")))
-        return
-    if mode == "link":
-        print(json.dumps(bench_link()))
-        return
+    # establish backend health with a hard timeout BEFORE any jax call:
+    # when the relay is down the contract (one JSON line, rc 0) still holds.
+    if os.environ.get("S2V_BENCH_SKIP_PROBE") != "1":
+        probe = _probe_backend()
+        if not probe["ok"]:
+            print(_outage_line(probe, f"pre-flight probe, mode={mode}"),
+                  flush=True)
+            return
+    try:
+        if mode == "generator":
+            print(json.dumps(bench_generator(
+                int(sys.argv[2]) if len(sys.argv) > 2 else 16)))
+            return
+        if mode == "e2e":
+            print(json.dumps(bench_e2e(
+                with_final=os.environ.get("S2V_BENCH_FULL") == "1")))
+            return
+        if mode == "devtime":
+            print(json.dumps(bench_devtime(
+                with_final=os.environ.get("S2V_BENCH_FULL") == "1")))
+            return
+        if mode == "link":
+            print(json.dumps(bench_link()))
+            return
 
-    # default: generator first (a truncated run still records a line), then
-    # the wall-clock e2e, then the per-stage device-time accounting LAST so
-    # the driver's parsed headline is the device-bound e2e fps + MFU
-    # (wall-clock e2e through this image's relay is transfer-bound and
-    # measures the link, not the chip — both lines are recorded).
-    gen = bench_generator()
-    print(json.dumps(gen), flush=True)
-    try:
-        e2e = bench_e2e(with_final=os.environ.get("S2V_BENCH_FULL") == "1")
-        e2e["detail"]["generator_fps_bf16_b16"] = gen["value"]
-        print(json.dumps(e2e), flush=True)
-    except Exception as e:  # noqa: BLE001 - record the fallback, not a crash
-        sys.stderr.write(f"e2e bench failed: {e!r}\n")
-    try:
-        dev = bench_devtime(
-            with_final=os.environ.get("S2V_BENCH_FULL") == "1")
-        dev["detail"]["generator_fps_bf16_b16"] = gen["value"]
-        print(json.dumps(dev), flush=True)
-    except Exception as e:  # noqa: BLE001
-        sys.stderr.write(f"devtime bench failed: {e!r}\n")
+        # default: generator first (a truncated run still records a line),
+        # then the wall-clock e2e, then the per-stage device-time accounting
+        # LAST so the driver's parsed headline is the device-bound e2e fps +
+        # MFU (wall-clock e2e through this image's relay is transfer-bound
+        # and measures the link, not the chip — both lines are recorded).
+        gen = bench_generator()
+        print(json.dumps(gen), flush=True)
+        try:
+            e2e = bench_e2e(
+                with_final=os.environ.get("S2V_BENCH_FULL") == "1")
+            e2e["detail"]["generator_fps_bf16_b16"] = gen["value"]
+            print(json.dumps(e2e), flush=True)
+        except Exception as e:  # noqa: BLE001 - record, don't crash
+            sys.stderr.write(f"e2e bench failed: {e!r}\n")
+        try:
+            dev = bench_devtime(
+                with_final=os.environ.get("S2V_BENCH_FULL") == "1")
+            dev["detail"]["generator_fps_bf16_b16"] = gen["value"]
+            print(json.dumps(dev), flush=True)
+        except Exception as e:  # noqa: BLE001
+            sys.stderr.write(f"devtime bench failed: {e!r}\n")
+    except Exception as e:  # noqa: BLE001 - mid-run backend death etc.
+        import traceback
+
+        traceback.print_exc()
+        print(_outage_line(
+            {"ok": False, "reason": f"{type(e).__name__}: {str(e)[:300]}"},
+            f"mid-run failure, mode={mode}"), flush=True)
 
 
 if __name__ == "__main__":
