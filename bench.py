@@ -220,8 +220,12 @@ def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
         "parsenet": _fill_variables(ParseNet().init, z((1, 512, 512, 3))),
     }
     gpen512 = _fill_variables(FullGenerator(size=512).init, z((1, 512, 512, 3)))
+    # S2V_APPROX_WARP=1 measures the opt-in sheared separable warps
+    # (config model.approx_warp; ops/warp.py affine_warp_shear)
+    approx_warp = os.environ.get("S2V_APPROX_WARP") == "1"
     enhancer = FaceEnhancer(
-        {**aux, "facegan": gpen512}, in_size=512, chunk=32)
+        {**aux, "facegan": gpen512}, in_size=512, chunk=32,
+        approx_warp=approx_warp)
     # Random weights give garbage detections, but the fused detect +
     # device-umeyama + enhance chain is static-shape end to end — garbage
     # geometry costs exactly what real geometry costs, so the REAL product
@@ -234,7 +238,7 @@ def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
 
     gfp = _fill_variables(GFPGANv1Clean().init, z((1, 512, 512, 3)))
     models.mouth_restorer = R.make_mouth_restorer(
-        {**aux, "gfpgan": gfp}, chunk=16)
+        {**aux, "gfpgan": gfp}, chunk=16, approx_warp=approx_warp)
 
     if with_final:
         final_models = {
@@ -245,7 +249,7 @@ def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
                 RRDBNet(scale=2, num_feat=32).init, z((1, hw, hw, 3))),
         }
         final = FaceEnhancer(final_models, in_size=2048, use_sr=True,
-                             sr_scale=2, chunk=1)
+                             sr_scale=2, chunk=1, approx_warp=approx_warp)
         models.final_enhancer = lambda fr, bx: final.process_batch(
             fr, face_enhance=True, possion_blending=True,
             bboxes=np.asarray(bx)[:, [1, 3, 0, 2]])

@@ -104,10 +104,11 @@ def load_models(checkpoint_dir: str, cfg=None):
             W.convert_gpen_full(W.load_torch_checkpoint(gpen512, key=None), size=512)
         )
         dt = cfg.model.dtype if cfg is not None else "bfloat16"
+        aw = cfg.model.approx_warp if cfg is not None else False
         enhancer = FaceEnhancer(
             {"retinaface": aux["retinaface"], "parsenet": aux["parsenet"],
              "facegan": gan512},
-            in_size=512, dtype=dt,
+            in_size=512, dtype=dt, approx_warp=aw,
         )
         # Step-5 reference enhancement, batched over the whole clip
         # (inference.py:225-227,234-238: in_size 512, face_enhance=False)
@@ -136,7 +137,8 @@ def load_models(checkpoint_dir: str, cfg=None):
                 W.load_torch_checkpoint(rrdb_path, key="params_ema")))
         final = FaceEnhancer(
             final_models, in_size=2048, use_sr=True, sr_scale=2,
-            dtype=cfg.model.dtype if cfg is not None else "bfloat16")
+            dtype=cfg.model.dtype if cfg is not None else "bfloat16",
+            approx_warp=cfg.model.approx_warp if cfg is not None else False)
 
         def final_hook(frames, boxes_xyxy):
             # bbox only matters on the non-SR possion fallback
@@ -148,7 +150,8 @@ def load_models(checkpoint_dir: str, cfg=None):
         models.final_enhancer = final_hook
     from s2v_tpu.pipeline.restoration import make_mouth_restorer
 
-    models.mouth_restorer = make_mouth_restorer(aux)
+    models.mouth_restorer = make_mouth_restorer(
+        aux, approx_warp=cfg.model.approx_warp if cfg is not None else False)
     gani_path = maybe("30_net_gen.pth") or maybe("ganimation.pth")
     if gani_path:
         models.ganimation = as_vars(

@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 
 from s2v_tpu.ops.image import resize_bilinear
-from s2v_tpu.ops.warp import affine_warp, grid_sample_bilinear
+from s2v_tpu.ops.warp import (affine_warp, affine_warp_shear,
+                              grid_sample_bilinear)
 from s2v_tpu.pipeline.utils import gaussian_blur, laplacian_pyramid_blend, mask_postprocess
 
 # align_faces.py:14-22
@@ -226,7 +227,8 @@ class FaceEnhancer:
     def __init__(self, models: dict, in_size: int = 512,
                  use_sr: bool = False, sr_scale: int = 2,
                  sr_num_feat: int = 32, threshold: float = 0.9,
-                 chunk: Optional[int] = None, dtype: str = "bfloat16"):
+                 chunk: Optional[int] = None, dtype: str = "bfloat16",
+                 approx_warp: bool = False):
         from s2v_tpu.models.gpen import FullGenerator
         from s2v_tpu.models.parsenet import ParseNet, parse_mask
         from s2v_tpu.models.retinaface import (
@@ -249,6 +251,11 @@ class FaceEnhancer:
         facegan = FullGenerator(size=in_size)
         parser = ParseNet()
         s = in_size
+        # opt-in approx mode (config model.approx_warp): similarity warps
+        # run as two sheared separable passes (zero per-pixel gathers, MXU
+        # resample) at a documented quality delta — see ops/warp.py
+        # affine_warp_shear. The exact path stays the parity surface.
+        warp = affine_warp_shear if approx_warp else affine_warp
         # GAN/SR compute dtype: bf16 keeps the MXU at full rate; detection
         # and the mask/composite math stay f32
         dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
@@ -282,7 +289,7 @@ class FaceEnhancer:
             at all. Returns (ef [B,S,S,3], tmp_mask [B,S,S,1], mask_sharp512
             [B,512,512,1]).
             """
-            of = affine_warp(frames.astype(jnp.float32), tfms, (s, s))
+            of = warp(frames.astype(jnp.float32), tfms, (s, s))
             if do_enhance:
                 x = (of / 255.0 * 2.0 - 1.0).astype(dt)
                 ef = facegan.apply(variables_gan, x, deterministic=True)
@@ -311,7 +318,7 @@ class FaceEnhancer:
             ms = resize_bilinear(mask_sharp512, (s, s))
             # one 5-channel warp instead of three: gather descriptors (the
             # cost driver) scale with pixels, not channels
-            packed = affine_warp(
+            packed = warp(
                 jnp.concatenate(
                     [ef.astype(jnp.float32), tmp_mask, ms], axis=-1),
                 tfm_invs, hw)
@@ -376,7 +383,7 @@ class FaceEnhancer:
             the split path's uint8 output equals the fused program's)."""
             hw = out_shape_like.shape[1:3]
             ms = resize_bilinear(mask_sharp512, (s, s))
-            packed = affine_warp(
+            packed = warp(
                 jnp.concatenate(
                     [ef.astype(jnp.float32), tmp_mask, ms], axis=-1),
                 tfms, hw, inverse=True)
@@ -406,7 +413,7 @@ class FaceEnhancer:
             # One 5-channel warp instead of three (descriptor count, not
             # channel count, is what gathers pay for).
             ms = resize_bilinear(ms512, (s, s))
-            packed = affine_warp(
+            packed = warp(
                 jnp.concatenate(
                     [ef.astype(jnp.float32), tmp_mask, ms], axis=-1),
                 tfms, hw, inverse=True)

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from s2v_tpu.ops.image import resize_bilinear
 from s2v_tpu.ops.warp import (
     affine_warp,
+    affine_warp_shear,
     crop_resize_boxes,
     paste_resize_boxes,
 )
@@ -49,7 +50,7 @@ class GFPGANRestorer:
     def __init__(self, models: Dict, threshold: float = 0.9,
                  arch: str = "clean", chunk: int = 16, size: int = 512,
                  gfpgan_kwargs: Optional[Dict] = None,
-                 dtype: str = "bfloat16"):
+                 dtype: str = "bfloat16", approx_warp: bool = False):
         from s2v_tpu.models.gfpgan import GFPGANv1, GFPGANv1Clean
         from s2v_tpu.models.retinaface import (
             RETINA_MEAN, RetinaFace, detect_faces,
@@ -76,6 +77,10 @@ class GFPGANRestorer:
 
         s = size
         dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        # opt-in approx mode (config model.approx_warp): gather-free sheared
+        # separable warps, documented quality delta (ops/warp.py
+        # affine_warp_shear); the exact path stays the parity surface.
+        warp = affine_warp_shear if approx_warp else affine_warp
 
         @jax.jit
         def restore_paste(variables, frames_in, tfms, tfm_invs, valid):
@@ -83,7 +88,7 @@ class GFPGANRestorer:
             inverse-paste (utils.py:97-143) — one program per frame chunk.
             uint8 in / uint8 out: frames cross the relay at 1 byte/px."""
             frames = frames_in.astype(jnp.float32)
-            face = affine_warp(frames, tfms, (s, s))
+            face = warp(frames, tfms, (s, s))
             x = ((face / 255.0 - 0.5) / 0.5).astype(dt)
             out = gfpgan.apply(variables, x, deterministic=True)
             if isinstance(out, tuple):
@@ -94,7 +99,7 @@ class GFPGANRestorer:
             # fused 4-channel warp: restored RGB + the all-ones coverage
             # mask share one gather (channels are nearly free, descriptors
             # are not)
-            packed = affine_warp(
+            packed = warp(
                 jnp.concatenate(
                     [restored,
                      jnp.ones((frames.shape[0], s, s, 1), jnp.float32)],
@@ -121,7 +126,7 @@ class GFPGANRestorer:
                 retina.apply(vars_retina, bgr), frames_u8.shape[1:3],
                 threshold)
             tfms, _ = umeyama_similarity_batched(landms, template_d)
-            face = affine_warp(frames, tfms, (s, s))
+            face = warp(frames, tfms, (s, s))
             x = ((face / 255.0 - 0.5) / 0.5).astype(dt)
             out = gfpgan.apply(vars_gfpgan, x, deterministic=True)
             if isinstance(out, tuple):
@@ -132,7 +137,7 @@ class GFPGANRestorer:
             # tfm maps frame->crop: passing it with inverse=True IS the
             # paste-back warp (no explicit 2x3 inversion needed). RGB and
             # the coverage mask share one 4-channel gather.
-            packed = affine_warp(
+            packed = warp(
                 jnp.concatenate(
                     [restored,
                      jnp.ones((frames.shape[0], s, s, 1), jnp.float32)],
@@ -223,7 +228,8 @@ class GFPGANRestorer:
         return self.enhance_batch(frame_rgb[None])[0]
 
 
-def make_mouth_restorer(models: Dict, chunk: int = 16) -> Optional[Callable]:
+def make_mouth_restorer(models: Dict, chunk: int = 16,
+                        approx_warp: bool = False) -> Optional[Callable]:
     """The reference's Step-6 per-frame tail (inference.py:299-312), batched.
 
     models needs 'retinaface' + 'gfpgan' + 'parsenet'. Returns
@@ -238,7 +244,7 @@ def make_mouth_restorer(models: Dict, chunk: int = 16) -> Optional[Callable]:
     from s2v_tpu.models.parsenet import MOUTH_COLORMAP, ParseNet, parse_mask
 
     restorer = GFPGANRestorer(models, arch=models.get("gfpgan_arch", "clean"),
-                              chunk=chunk)
+                              chunk=chunk, approx_warp=approx_warp)
     parser = ParseNet()
 
     @jax.jit

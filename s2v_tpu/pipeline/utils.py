@@ -87,26 +87,36 @@ def find_crop_norm_ratio(source_coeff: jnp.ndarray, target_coeffs: jnp.ndarray):
 
 
 @functools.lru_cache(maxsize=None)
-def _pyr_kernel() -> np.ndarray:
-    k = np.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
-    return np.outer(k, k).astype(np.float32)
+def _pyr_kernel1d() -> np.ndarray:
+    return (np.asarray([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0).astype(np.float32)
 
 
-def _depthwise5(x: jnp.ndarray, k2d: np.ndarray) -> jnp.ndarray:
-    """5x5 depthwise filter with REFLECT_101 border on NHWC."""
+def _depthwise5(x: jnp.ndarray, k1d: np.ndarray, gain: float = 1.0,
+                stride: int = 1) -> jnp.ndarray:
+    """Separable 5x5 depthwise filter (outer(k1d, k1d) * gain) with
+    REFLECT_101 border on NHWC — two 5-tap passes instead of one 25-tap
+    conv (same result up to f32 summation order; 2.5x less VPU work on the
+    bandwidth-bound pyramid levels). ``stride=2`` fuses the pyrDown
+    decimation into the passes (vertical pass drops odd rows before the
+    horizontal pass runs — exact, decimation commutes with the other
+    axis's conv)."""
     c = x.shape[-1]
     x = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
-    w = jnp.asarray(k2d, x.dtype)[:, :, None, None]
-    w = jnp.tile(w, (1, 1, 1, c))
+    kv = jnp.asarray(k1d * gain, x.dtype)[:, None, None, None]
+    kh = jnp.asarray(k1d, x.dtype)[None, :, None, None]
+    x = jax.lax.conv_general_dilated(
+        x, jnp.tile(kv, (1, 1, 1, c)), (stride, 1), [(0, 0), (0, 0)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+    )
     return jax.lax.conv_general_dilated(
-        x, w, (1, 1), [(0, 0), (0, 0)],
+        x, jnp.tile(kh, (1, 1, 1, c)), (1, stride), [(0, 0), (0, 0)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
     )
 
 
 def pyr_down(x: jnp.ndarray) -> jnp.ndarray:
     """cv2.pyrDown on NHWC (blur then keep even rows/cols)."""
-    return _depthwise5(x, _pyr_kernel())[:, ::2, ::2, :]
+    return _depthwise5(x, _pyr_kernel1d(), stride=2)
 
 
 def pyr_up(x: jnp.ndarray) -> jnp.ndarray:
@@ -115,7 +125,7 @@ def pyr_up(x: jnp.ndarray) -> jnp.ndarray:
     z = jnp.zeros((b, h, 2, w, 2, c), x.dtype)
     z = z.at[:, :, 0, :, 0, :].set(x)
     z = z.reshape(b, 2 * h, 2 * w, c)
-    return _depthwise5(z, 4.0 * _pyr_kernel())
+    return _depthwise5(z, _pyr_kernel1d(), gain=4.0)
 
 
 def laplacian_pyramid_blend(

@@ -66,6 +66,12 @@ class ModelConfig:
     # landmark jitter (heatmap argmax is robust; the +-0.25 refinement
     # can flip on near-ties). Box/landmark decode always runs f32.
     detector_dtype: str = "float32"
+    # Opt-in approximate similarity warps in the enhancement/restoration
+    # programs: two sheared separable passes (zero per-pixel gathers, MXU
+    # resample) instead of the exact 2x2-patch gather. ~50 dB PSNR vs the
+    # exact path on smooth content (ops/warp.py affine_warp_shear); the
+    # exact path remains the default and the parity surface.
+    approx_warp: bool = False
 
 
 @dataclass(frozen=True)

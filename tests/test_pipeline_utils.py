@@ -87,6 +87,37 @@ def test_pyramid_shapes_and_roundtrip():
     assert err < 0.05, err
 
 
+def test_pyramid_separable_matches_dense_25tap():
+    """pyr_down/pyr_up run the 5-tap kernel as two separable passes (with
+    the decimation fused into the strides); pin them to the dense 25-tap
+    outer-product formulation (the cv2 definition)."""
+    import jax
+
+    x = jnp.asarray(RNG.rand(2, 32, 48, 3).astype(np.float32))
+    k1 = np.asarray([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
+    k2d = np.outer(k1, k1)
+
+    def dense5(z, k):
+        c = z.shape[-1]
+        zp = jnp.pad(z, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
+        w = jnp.tile(jnp.asarray(k)[:, :, None, None], (1, 1, 1, c))
+        return jax.lax.conv_general_dilated(
+            zp, w, (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+
+    np.testing.assert_allclose(
+        np.asarray(pyr_down(x)), np.asarray(dense5(x, k2d)[:, ::2, ::2, :]),
+        rtol=1e-6, atol=1e-6)
+    d = pyr_down(x)
+    b, h, w, c = d.shape
+    z = jnp.zeros((b, h, 2, w, 2, c), d.dtype)
+    z = z.at[:, :, 0, :, 0, :].set(d).reshape(b, 2 * h, 2 * w, c)
+    np.testing.assert_allclose(
+        np.asarray(pyr_up(d)), np.asarray(dense5(z, 4.0 * k2d)),
+        rtol=1e-5, atol=1e-5)
+
+
 def test_laplacian_blend_mask_extremes():
     a = jnp.asarray(smooth_image(128, 128)[None])
     b = jnp.asarray(smooth_image(128, 128)[None])
