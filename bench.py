@@ -221,11 +221,16 @@ def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
     }
     gpen512 = _fill_variables(FullGenerator(size=512).init, z((1, 512, 512, 3)))
     # S2V_APPROX_WARP=1 measures the opt-in sheared separable warps
-    # (config model.approx_warp; ops/warp.py affine_warp_shear)
+    # (config model.approx_warp; ops/warp.py affine_warp_shear);
+    # S2V_DET_BF16=1 also moves the RetinaFace programs to bf16;
+    # S2V_PARSE_SIZE=256 shrinks the ParseNet working resolution
     approx_warp = os.environ.get("S2V_APPROX_WARP") == "1"
+    enh_det = ("bfloat16" if os.environ.get("S2V_DET_BF16") == "1"
+               else "float32")
+    parse_size = int(os.environ.get("S2V_PARSE_SIZE", "512"))
     enhancer = FaceEnhancer(
         {**aux, "facegan": gpen512}, in_size=512, chunk=32,
-        approx_warp=approx_warp)
+        approx_warp=approx_warp, det_dtype=enh_det, parse_size=parse_size)
     # Random weights give garbage detections, but the fused detect +
     # device-umeyama + enhance chain is static-shape end to end — garbage
     # geometry costs exactly what real geometry costs, so the REAL product
@@ -238,7 +243,8 @@ def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
 
     gfp = _fill_variables(GFPGANv1Clean().init, z((1, 512, 512, 3)))
     models.mouth_restorer = R.make_mouth_restorer(
-        {**aux, "gfpgan": gfp}, chunk=16, approx_warp=approx_warp)
+        {**aux, "gfpgan": gfp}, chunk=16, approx_warp=approx_warp,
+        det_dtype=enh_det, parse_size=parse_size, parse_dtype=enh_det)
 
     if with_final:
         final_models = {
@@ -249,7 +255,8 @@ def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
                 RRDBNet(scale=2, num_feat=32).init, z((1, hw, hw, 3))),
         }
         final = FaceEnhancer(final_models, in_size=2048, use_sr=True,
-                             sr_scale=2, chunk=1, approx_warp=approx_warp)
+                             sr_scale=2, chunk=1, approx_warp=approx_warp,
+                             det_dtype=enh_det, parse_size=parse_size)
         models.final_enhancer = lambda fr, bx: final.process_batch(
             fr, face_enhance=True, possion_blending=True,
             bboxes=np.asarray(bx)[:, [1, 3, 0, 2]])

@@ -105,10 +105,13 @@ def load_models(checkpoint_dir: str, cfg=None):
         )
         dt = cfg.model.dtype if cfg is not None else "bfloat16"
         aw = cfg.model.approx_warp if cfg is not None else False
+        ddt = cfg.model.detector_dtype if cfg is not None else "float32"
+        ps = cfg.model.parse_size if cfg is not None else 512
         enhancer = FaceEnhancer(
             {"retinaface": aux["retinaface"], "parsenet": aux["parsenet"],
              "facegan": gan512},
-            in_size=512, dtype=dt, approx_warp=aw,
+            in_size=512, dtype=dt, approx_warp=aw, det_dtype=ddt,
+            parse_size=ps,
         )
         # Step-5 reference enhancement, batched over the whole clip
         # (inference.py:225-227,234-238: in_size 512, face_enhance=False)
@@ -138,7 +141,10 @@ def load_models(checkpoint_dir: str, cfg=None):
         final = FaceEnhancer(
             final_models, in_size=2048, use_sr=True, sr_scale=2,
             dtype=cfg.model.dtype if cfg is not None else "bfloat16",
-            approx_warp=cfg.model.approx_warp if cfg is not None else False)
+            approx_warp=cfg.model.approx_warp if cfg is not None else False,
+            det_dtype=(cfg.model.detector_dtype
+                       if cfg is not None else "float32"),
+            parse_size=cfg.model.parse_size if cfg is not None else 512)
 
         def final_hook(frames, boxes_xyxy):
             # bbox only matters on the non-SR possion fallback
@@ -151,7 +157,13 @@ def load_models(checkpoint_dir: str, cfg=None):
     from s2v_tpu.pipeline.restoration import make_mouth_restorer
 
     models.mouth_restorer = make_mouth_restorer(
-        aux, approx_warp=cfg.model.approx_warp if cfg is not None else False)
+        aux,
+        approx_warp=cfg.model.approx_warp if cfg is not None else False,
+        det_dtype=(cfg.model.detector_dtype
+                   if cfg is not None else "float32"),
+        parse_size=cfg.model.parse_size if cfg is not None else 512,
+        parse_dtype=(cfg.model.detector_dtype
+                     if cfg is not None else "float32"))
     gani_path = maybe("30_net_gen.pth") or maybe("ganimation.pth")
     if gani_path:
         models.ganimation = as_vars(

@@ -228,7 +228,8 @@ class FaceEnhancer:
                  use_sr: bool = False, sr_scale: int = 2,
                  sr_num_feat: int = 32, threshold: float = 0.9,
                  chunk: Optional[int] = None, dtype: str = "bfloat16",
-                 approx_warp: bool = False):
+                 approx_warp: bool = False, det_dtype: str = "float32",
+                 parse_size: int = 512):
         from s2v_tpu.models.gpen import FullGenerator
         from s2v_tpu.models.parsenet import ParseNet, parse_mask
         from s2v_tpu.models.retinaface import (
@@ -259,12 +260,28 @@ class FaceEnhancer:
         # GAN/SR compute dtype: bf16 keeps the MXU at full rate; detection
         # and the mask/composite math stay f32
         dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+        # RetinaFace conv dtype (config model.detector_dtype, same contract
+        # as the S3FD/FAN sweeps): f32 default matches the reference; bf16
+        # runs the detector's MXU convs at full rate with sub-pixel box/
+        # landmark jitter. The anchor decode always runs f32.
+        det_dt = jnp.bfloat16 if det_dtype == "bfloat16" else jnp.float32
+
+        def retina_fwd(variables, bgr):
+            outs = retina.apply(variables, bgr.astype(det_dt))
+            return tuple(o.astype(jnp.float32) for o in outs)
+
+        # ParseNet working resolution (config model.parse_size). 512 is the
+        # reference geometry (face_parsing.py); 256 quarters the parser's
+        # bandwidth floor — the argmax mask is bilinearly upsampled back to
+        # 512 before the sigma-11 postprocess blurs, so the quality delta
+        # is confined to ~1px of mask-boundary rounding pre-blur.
+        ps = int(parse_size)
 
         @jax.jit
         def detect(variables, frames_rgb):
             x = frames_rgb.astype(jnp.float32)
             bgr = x[..., ::-1] - jnp.asarray(RETINA_MEAN)
-            return detect_faces(retina.apply(variables, bgr),
+            return detect_faces(retina_fwd(variables, bgr),
                                 frames_rgb.shape[1:3], threshold)
 
         @jax.jit
@@ -299,10 +316,13 @@ class FaceEnhancer:
                 ef = of
             # the reference parses the UNfiltered ef (the small-face filter2D
             # is applied after mask computation, face_enhancement.py:145-154)
-            ef512 = resize_bilinear(ef, (512, 512))
+            efp = resize_bilinear(ef, (ps, ps))
             logits, _ = parser.apply(
-                variables_parse, (ef512 / 255.0 * 2.0 - 1.0).astype(dt))
+                variables_parse, (efp / 255.0 * 2.0 - 1.0).astype(dt))
             mask_sharp = parse_mask(logits.astype(jnp.float32), self.MM) / 255.0
+            if ps != 512:
+                mask_sharp = resize_bilinear(
+                    mask_sharp[..., None], (512, 512))[..., 0]
             tmp_mask = mask_postprocess(mask_sharp, thres=26)
             tmp_mask = resize_bilinear(tmp_mask[..., None], (s, s))
             ef = jnp.where(small[:, None, None, None],
@@ -369,7 +389,7 @@ class FaceEnhancer:
             x = fc_u8.astype(jnp.float32)
             bgr = x[..., ::-1] - jnp.asarray(RETINA_MEAN)
             boxes, landms, valid = detect_faces(
-                retina.apply(vars_retina, bgr), fc_u8.shape[1:3], threshold)
+                retina_fwd(vars_retina, bgr), fc_u8.shape[1:3], threshold)
             tfms, _ = umeyama_similarity_batched(landms, ref5)
             small = jnp.minimum(boxes[:, 2] - boxes[:, 0],
                                 boxes[:, 3] - boxes[:, 1]) < 100
@@ -402,7 +422,7 @@ class FaceEnhancer:
             x = fc_u8.astype(jnp.float32)
             bgr = x[..., ::-1] - jnp.asarray(RETINA_MEAN)
             boxes, landms, valid = detect_faces(
-                retina.apply(vars_retina, bgr), fc_u8.shape[1:3], threshold)
+                retina_fwd(vars_retina, bgr), fc_u8.shape[1:3], threshold)
             tfms, _ = umeyama_similarity_batched(landms, ref5)
             small = jnp.minimum(boxes[:, 2] - boxes[:, 0],
                                 boxes[:, 3] - boxes[:, 1]) < 100

@@ -50,7 +50,8 @@ class GFPGANRestorer:
     def __init__(self, models: Dict, threshold: float = 0.9,
                  arch: str = "clean", chunk: int = 16, size: int = 512,
                  gfpgan_kwargs: Optional[Dict] = None,
-                 dtype: str = "bfloat16", approx_warp: bool = False):
+                 dtype: str = "bfloat16", approx_warp: bool = False,
+                 det_dtype: str = "float32"):
         from s2v_tpu.models.gfpgan import GFPGANv1, GFPGANv1Clean
         from s2v_tpu.models.retinaface import (
             RETINA_MEAN, RetinaFace, detect_faces,
@@ -68,11 +69,20 @@ class GFPGANRestorer:
             gfpgan = GFPGANv1(input_is_latent=True, different_w=True,
                               sft_half=True, channel_multiplier=1, **kw)
 
+        # RetinaFace conv dtype (config model.detector_dtype): f32 default
+        # matches the reference; bf16 runs the detector convs at MXU full
+        # rate with sub-pixel box/landmark jitter. Decode stays f32.
+        det_dt = jnp.bfloat16 if det_dtype == "bfloat16" else jnp.float32
+
+        def retina_fwd(variables, bgr):
+            outs = retina.apply(variables, bgr.astype(det_dt))
+            return tuple(o.astype(jnp.float32) for o in outs)
+
         @jax.jit
         def detect(variables, frames_rgb):
             x = frames_rgb.astype(jnp.float32)
             bgr = x[..., ::-1] - jnp.asarray(RETINA_MEAN)
-            return detect_faces(retina.apply(variables, bgr),
+            return detect_faces(retina_fwd(variables, bgr),
                                 frames_rgb.shape[1:3], threshold)
 
         s = size
@@ -123,7 +133,7 @@ class GFPGANRestorer:
             frames = frames_u8.astype(jnp.float32)
             bgr = frames[..., ::-1] - jnp.asarray(RETINA_MEAN)
             boxes, landms, valid = detect_faces(
-                retina.apply(vars_retina, bgr), frames_u8.shape[1:3],
+                retina_fwd(vars_retina, bgr), frames_u8.shape[1:3],
                 threshold)
             tfms, _ = umeyama_similarity_batched(landms, template_d)
             face = warp(frames, tfms, (s, s))
@@ -229,7 +239,10 @@ class GFPGANRestorer:
 
 
 def make_mouth_restorer(models: Dict, chunk: int = 16,
-                        approx_warp: bool = False) -> Optional[Callable]:
+                        approx_warp: bool = False,
+                        det_dtype: str = "float32",
+                        parse_size: int = 512,
+                        parse_dtype: str = "float32") -> Optional[Callable]:
     """The reference's Step-6 per-frame tail (inference.py:299-312), batched.
 
     models needs 'retinaface' + 'gfpgan' + 'parsenet'. Returns
@@ -244,8 +257,17 @@ def make_mouth_restorer(models: Dict, chunk: int = 16,
     from s2v_tpu.models.parsenet import MOUTH_COLORMAP, ParseNet, parse_mask
 
     restorer = GFPGANRestorer(models, arch=models.get("gfpgan_arch", "clean"),
-                              chunk=chunk, approx_warp=approx_warp)
+                              chunk=chunk, approx_warp=approx_warp,
+                              det_dtype=det_dtype)
     parser = ParseNet()
+    # ParseNet working resolution + conv dtype (config model.parse_size /
+    # model.detector_dtype): 512/f32 is the reference geometry; 256/bf16
+    # quarters the parser's bandwidth floor and runs its convs at MXU full
+    # rate. The argmax mouth mask is bilinearly resized to the face box by
+    # paste_resize_boxes either way, so the delta is ~1px of mask-boundary
+    # rounding before the Laplacian blend.
+    ps = int(parse_size)
+    pdt = jnp.bfloat16 if parse_dtype == "bfloat16" else jnp.float32
 
     @jax.jit
     def mouth_blend(variables, restored, ff, boxes):
@@ -258,9 +280,11 @@ def make_mouth_restorer(models: Dict, chunk: int = 16,
         restored = restored.astype(jnp.float32)
         ff = ff.astype(jnp.float32)
         b, h, w, _ = ff.shape
-        crop512 = crop_resize_boxes(restored, boxes, (512, 512))
-        logits, _ = parser.apply(variables, crop512 / 255.0 * 2.0 - 1.0)
-        mm = parse_mask(logits, MOUTH_COLORMAP)[..., None]  # [B,512,512,1]
+        cropp = crop_resize_boxes(restored, boxes, (ps, ps))
+        logits, _ = parser.apply(
+            variables, (cropp / 255.0 * 2.0 - 1.0).astype(pdt))
+        mm = parse_mask(logits.astype(jnp.float32),
+                        MOUTH_COLORMAP)[..., None]  # [B,ps,ps,1]
         canvas = jnp.zeros((b, h, w, 1), jnp.float32)
         mouse_mask = paste_resize_boxes(canvas, mm / 255.0, boxes)
 

@@ -60,12 +60,19 @@ class ModelConfig:
     coeff_nc: int = 73           # 70 coeffs + 3 trans params fed to MappingNet
     dtype: str = "bfloat16"      # compute dtype on TPU
     param_dtype: str = "float32"
-    # Conv compute dtype for the detection/landmark sweeps (S3FD+FAN).
+    # Conv compute dtype for the detection/landmark sweeps (S3FD + FAN +
+    # the RetinaFace programs inside FaceEnhancer / GFPGANRestorer).
     # float32 matches the reference bit-for-bit tolerance; bfloat16 runs
     # the MXU at full rate (~2x on the landmark programs) with sub-pixel
     # landmark jitter (heatmap argmax is robust; the +-0.25 refinement
-    # can flip on near-ties). Box/landmark decode always runs f32.
+    # can flip on near-ties). Box/landmark/anchor decode always runs f32.
     detector_dtype: str = "float32"
+    # ParseNet working resolution in the enhancement/restoration programs.
+    # 512 is the reference geometry (face_parsing.py); 256 quarters the
+    # parser's HBM-bandwidth floor — the argmax mask is bilinearly resized
+    # back before the big downstream blurs, so the delta is ~1px of mask-
+    # boundary rounding pre-blur.
+    parse_size: int = 512
     # Opt-in approximate similarity warps in the enhancement/restoration
     # programs: two sheared separable passes (zero per-pixel gathers, MXU
     # resample) instead of the exact 2x2-patch gather. ~50 dB PSNR vs the

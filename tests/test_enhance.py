@@ -128,3 +128,37 @@ def test_enhance_split_matches_fused():
         split = enhancer.process_batch(frames, **kwargs)
         d = np.abs(fused.astype(np.int32) - split.astype(np.int32))
         assert d.max() <= 1, (d.max(), (d > 0).mean())
+
+
+@pytest.mark.slow
+def test_face_enhancer_fast_knobs_close_to_default():
+    """The opt-in perf knobs (det_dtype=bfloat16, parse_size=256,
+    approx_warp) must produce composites close to the default exact path:
+    same shapes/dtype, and the bulk of pixels within a few gray levels
+    (mask-boundary and warp-tap pixels may differ more)."""
+    from s2v_tpu.models.gpen import FullGenerator
+    from s2v_tpu.models.parsenet import ParseNet
+    from s2v_tpu.models.retinaface import RetinaFace
+
+    rng = jax.random.PRNGKey(11)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    in_size = 64
+    models = {
+        "retinaface": RetinaFace().init(k1, jnp.zeros((1, 64, 64, 3))),
+        "facegan": FullGenerator(size=in_size).init(
+            k2, jnp.zeros((1, in_size, in_size, 3))
+        ),
+        "parsenet": ParseNet().init(k3, jnp.zeros((1, 512, 512, 3))),
+    }
+    frame = (RNG.rand(64, 64, 3) * 255).astype(np.uint8)
+    base = FaceEnhancer(models, in_size=in_size, threshold=-1.0)
+    fast = FaceEnhancer(models, in_size=in_size, threshold=-1.0,
+                        det_dtype="bfloat16", parse_size=256,
+                        approx_warp=True)
+    ob = base(frame)
+    of = fast(frame)
+    assert of.shape == ob.shape and of.dtype == np.uint8
+    d = np.abs(ob.astype(np.float32) - of.astype(np.float32))
+    # random-weight nets amplify tiny detector jitter; require the bulk of
+    # the frame to agree and everything to stay finite/in-range
+    assert (d <= 8).mean() > 0.90, (d.mean(), (d <= 8).mean())

@@ -175,7 +175,7 @@ def test_mouth_restorer_batched(enhancer_models):
     import s2v_tpu.pipeline.restoration as R
 
     orig = R.GFPGANRestorer
-    R.GFPGANRestorer = lambda m, arch, chunk: restorer
+    R.GFPGANRestorer = lambda m, arch, chunk, **kw: restorer
     try:
         hook = make_mouth_restorer(models, chunk=2)
     finally:
