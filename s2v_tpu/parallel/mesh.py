@@ -56,6 +56,16 @@ def shard_frames(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, frame_spec(x.ndim)))
 
 
+def shard_frames_if_divisible(x, mesh: Mesh):
+    """``shard_frames`` when the leading axis divides the data axis; the
+    array untouched otherwise (small tail chunks run single-device rather
+    than erroring — the pipeline's chunkers pad to the chunk size, so this
+    only triggers when chunk < mesh data size)."""
+    if x.shape[0] % mesh.shape[DATA_AXIS] == 0:
+        return shard_frames(x, mesh)
+    return x
+
+
 def replicate(x, mesh: Mesh):
     return jax.device_put(x, NamedSharding(mesh, P()))
 

@@ -229,7 +229,7 @@ class FaceEnhancer:
                  sr_num_feat: int = 32, threshold: float = 0.9,
                  chunk: Optional[int] = None, dtype: str = "bfloat16",
                  approx_warp: bool = False, det_dtype: str = "float32",
-                 parse_size: int = 512):
+                 parse_size: int = 512, mesh=None):
         from s2v_tpu.models.gpen import FullGenerator
         from s2v_tpu.models.parsenet import ParseNet, parse_mask
         from s2v_tpu.models.retinaface import (
@@ -247,6 +247,16 @@ class FaceEnhancer:
         self.reference_5pts = get_reference_facial_points(
             (in_size, in_size), 0.25, (0, 0), True
         )
+        # multi-chip: a jax.sharding.Mesh shards each chunk's frame axis
+        # over the mesh's data axis (per-frame-independent programs, so
+        # batch sharding is exact — same contract as LipSyncPipeline).
+        # Chunk size must divide by the data-axis size. Model variables
+        # pass as uncommitted jit args and replicate automatically.
+        if mesh is not None:
+            from s2v_tpu.parallel.mesh import shard_frames_if_divisible
+            self._place = lambda c: shard_frames_if_divisible(c, mesh)
+        else:
+            self._place = lambda c: c
 
         retina = RetinaFace()
         facegan = FullGenerator(size=in_size)
@@ -612,12 +622,13 @@ class FaceEnhancer:
                     pending.append((sl, self._enhance_full(
                         bool(face_enhance), mode, self.models["retinaface"],
                         self.models["facegan"], self.models["parsenet"],
-                        cx(i), cori(i), jnp.asarray(mb),
+                        self._place(cx(i)), self._place(cori(i)),
+                        jnp.asarray(mb),
                     )))
                 else:
                     pending.append((sl, self._enhance_split(
-                        bool(face_enhance), mode, cx(i), cori(i),
-                        jnp.asarray(mb))))
+                        bool(face_enhance), mode, self._place(cx(i)),
+                        self._place(cori(i)), jnp.asarray(mb))))
             if device_out:
                 return jnp.concatenate(
                     [res[: sl.stop - sl.start] for sl, res in pending])

@@ -51,7 +51,7 @@ class GFPGANRestorer:
                  arch: str = "clean", chunk: int = 16, size: int = 512,
                  gfpgan_kwargs: Optional[Dict] = None,
                  dtype: str = "bfloat16", approx_warp: bool = False,
-                 det_dtype: str = "float32"):
+                 det_dtype: str = "float32", mesh=None):
         from s2v_tpu.models.gfpgan import GFPGANv1, GFPGANv1Clean
         from s2v_tpu.models.retinaface import (
             RETINA_MEAN, RetinaFace, detect_faces,
@@ -60,6 +60,13 @@ class GFPGANRestorer:
         self.models = models
         self.chunk = chunk
         self.size = size  # reference is fixed 512 (gfpgan/utils.py:76-82)
+        # multi-chip: frame-axis chunk sharding over the mesh's data axis
+        # (same contract as LipSyncPipeline / FaceEnhancer)
+        if mesh is not None:
+            from s2v_tpu.parallel.mesh import shard_frames_if_divisible
+            self._place = lambda c: shard_frames_if_divisible(c, mesh)
+        else:
+            self._place = lambda c: c
         self.template = FACEXLIB_TEMPLATE_512 * (size / 512.0)
         kw = dict(gfpgan_kwargs or {})
         retina = RetinaFace()
@@ -203,7 +210,7 @@ class GFPGANRestorer:
             if pad:
                 c = jnp.concatenate([c, jnp.repeat(c[-1:], pad, 0)])
             slices.append((sl, pad))
-            chunks_dev.append(c)
+            chunks_dev.append(self._place(c))
 
         if "_transforms" not in self.__dict__:
             # fused single-program path: detect + device umeyama + restore
@@ -242,7 +249,10 @@ def make_mouth_restorer(models: Dict, chunk: int = 16,
                         approx_warp: bool = False,
                         det_dtype: str = "float32",
                         parse_size: int = 512,
-                        parse_dtype: str = "float32") -> Optional[Callable]:
+                        parse_dtype: str = "float32",
+                        mesh=None, size: int = 512,
+                        gfpgan_kwargs: Optional[Dict] = None
+                        ) -> Optional[Callable]:
     """The reference's Step-6 per-frame tail (inference.py:299-312), batched.
 
     models needs 'retinaface' + 'gfpgan' + 'parsenet'. Returns
@@ -258,7 +268,8 @@ def make_mouth_restorer(models: Dict, chunk: int = 16,
 
     restorer = GFPGANRestorer(models, arch=models.get("gfpgan_arch", "clean"),
                               chunk=chunk, approx_warp=approx_warp,
-                              det_dtype=det_dtype)
+                              det_dtype=det_dtype, mesh=mesh, size=size,
+                              gfpgan_kwargs=gfpgan_kwargs)
     parser = ParseNet()
     # ParseNet working resolution + conv dtype (config model.parse_size /
     # model.detector_dtype): 512/f32 is the reference geometry; 256/bf16
@@ -331,7 +342,8 @@ def make_mouth_restorer(models: Dict, chunk: int = 16,
             if fused:
                 res = mouth_full(
                     models["retinaface"], models["gfpgan"],
-                    models["parsenet"], ix(frames_u8), ix(boxes_d))
+                    models["parsenet"], restorer._place(ix(frames_u8)),
+                    restorer._place(ix(boxes_d)))
             else:
                 res = mouth_blend(
                     models["parsenet"], ix(restored), ix(frames_u8),

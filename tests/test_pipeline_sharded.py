@@ -122,3 +122,123 @@ def test_dryrun_full_depth_lnet():
                           timeout=1800)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "ok" in proc.stdout
+
+
+@pytest.mark.slow
+def test_full_stage_graph_sharded_matches_single_device():
+    """VERDICT r3 item 7: the WHOLE stage set — Step 1 S3FD+FAN landmarks,
+    Step 2 ReconNet coeffs, Step 3 DNet, the Step-5 FaceEnhancer program,
+    Step 6 ENet synthesis and the GFPGAN mouth tail — each runs with the
+    frame axis sharded data=8 on the CPU mesh and must match single-device.
+
+    Real programs at test geometry (FAN with 1 module, slim ENet decoder,
+    64^2 GPEN/GFPGAN, 256^2 ParseNet) — the same programs both sides, so
+    only the partitioning differs."""
+    from s2v_tpu.models.fan import FAN
+    from s2v_tpu.models.gfpgan import GFPGANv1Clean
+    from s2v_tpu.models.gpen import FullGenerator
+    from s2v_tpu.models.parsenet import ParseNet
+    from s2v_tpu.models.resnet import ReconNet
+    from s2v_tpu.models.retinaface import RetinaFace
+    from s2v_tpu.models.s3fd import S3FD
+    from s2v_tpu.pipeline.enhance import FaceEnhancer
+    from s2v_tpu.pipeline.restoration import make_mouth_restorer
+    import s2v_tpu.pipeline.inference as inf_mod
+
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 8)
+    z = jnp.zeros
+    models = PipelineModels(
+        s3fd=S3FD().init(ks[0], z((1, H, W, 3))),
+        fan=FAN(num_modules=1).init(ks[1], z((1, 256, 256, 3))),
+        recon=ReconNet().init(ks[2], z((1, 224, 224, 3))),
+        dnet=DNet().init(ks[3], z((1, 256, 256, 3)), z((1, 26, 73))),
+        enet=ENet(lnet_res_blocks=2).init(
+            ks[4], z((1, 80, 16, 1)), z((1, 384, 384, 6)),
+            z((1, 384, 384, 3))),
+        lm3d=np.asarray(
+            [[-0.3, 0.2, 0.1], [0.3, 0.2, 0.1], [0.0, 0.0, 0.3],
+             [-0.2, -0.3, 0.1], [0.2, -0.3, 0.1]], np.float64),
+        expression=np.zeros((64,), np.float32),
+    )
+    gpen_size = 64
+    hook_models = {
+        "retinaface": RetinaFace().init(ks[5], z((1, H, W, 3))),
+        "parsenet": ParseNet().init(ks[6], z((1, 256, 256, 3))),
+        "facegan": FullGenerator(size=gpen_size).init(
+            ks[7], z((1, gpen_size, gpen_size, 3))),
+        "gfpgan": GFPGANv1Clean(
+            out_size=gpen_size, num_style_feat=128, channel_multiplier=1,
+            num_mlp=2).init(
+                jax.random.PRNGKey(5), z((1, gpen_size, gpen_size, 3))),
+    }
+
+    frames = (RNG.rand(N, H, W, 3) * 255).astype(np.uint8)
+    frames_256 = (RNG.rand(N, 256, 256, 3) * 255).astype(np.uint8)
+    lm_256 = np.repeat(synthetic_landmarks(1, 256, 256), N, 0)
+    mel = jnp.asarray(RNG.rand(80, 35).astype(np.float32))
+    coords = (10, 150, 8, 140)
+    boxes = np.tile(np.asarray([30, 40, 110, 150], np.float32), (N, 1))
+
+    outs = {}
+    orig_fan = inf_mod.FAN
+    inf_mod.FAN = lambda: FAN(num_modules=1)
+    try:
+        for name, m in (("single", None), ("sharded", make_mesh(8, 1))):
+            pipe = _make_pipeline(models, m)
+            # Step 1: REAL fused S3FD+FAN landmark program (no injection)
+            lms, det_boxes = LipSyncPipeline.extract_landmarks(
+                pipe, frames, batch=8, return_boxes=True)
+            # Step 2: ReconNet coeffs (host PIL alignment is identical
+            # both sides; the regressor forward is the sharded program)
+            sem = pipe.extract_coeffs(frames_256, lm_256, batch=8)
+            # Step 3 + 6: DNet stabilize, ENet synthesize + paste.
+            # Each stage consumes the SINGLE-DEVICE side's upstream output
+            # (canonical inputs): this isolates the partitioning of the
+            # stage under test instead of compounding upstream <=2-LSB
+            # uint8 rounding drift through the deep nets (PARITY_r04's
+            # 1-LSB control shows DNet/ENet amplify sub-LSB input deltas
+            # by design, which is not a sharding defect).
+            canon = outs.get("single", {})
+            stab = pipe.stabilize(frames_256, canon.get("sem", sem),
+                                  batch=8)
+            # boxes are canonical too: detection is compared directly via
+            # det_boxes above (atol 0.51 px), and a sub-pixel box delta
+            # between sides shifts the crop/paste warp geometry — which
+            # would measure detection jitter, not synthesize partitioning
+            out = pipe.synthesize(canon.get("stab", stab), mel, frames,
+                                  coords, fps=25.0,
+                                  boxes_full=np.asarray(
+                                      canon.get("det_boxes", det_boxes)))
+            # Step 5 program: detect + umeyama + parse + composite
+            enh = FaceEnhancer(
+                {k: hook_models[k]
+                 for k in ("retinaface", "parsenet", "facegan")},
+                in_size=gpen_size, threshold=-1.0, chunk=8,
+                parse_size=256, mesh=m)
+            step5 = enh.process_batch(frames, face_enhance=False)
+            # mouth tail: GFPGAN restore + mouth mask + Laplacian blend
+            hook = make_mouth_restorer(
+                {k: hook_models[k]
+                 for k in ("retinaface", "parsenet", "gfpgan")},
+                chunk=8, parse_size=256, mesh=m, size=gpen_size,
+                gfpgan_kwargs=dict(num_style_feat=128,
+                                   channel_multiplier=1, num_mlp=2))
+            mouth = hook(frames.astype(np.float32), boxes)
+            outs[name] = dict(lms=lms, det_boxes=det_boxes, sem=sem,
+                              stab=stab, out=out, step5=step5, mouth=mouth)
+    finally:
+        inf_mod.FAN = orig_fan
+
+    a, b = outs["single"], outs["sharded"]
+    # float stages: identical math modulo partition-dependent fusion
+    np.testing.assert_allclose(a["lms"], b["lms"], atol=0.51)  # +-0.25 ref
+    np.testing.assert_allclose(a["det_boxes"], b["det_boxes"], atol=0.51)
+    np.testing.assert_allclose(a["sem"], b["sem"], rtol=1e-4, atol=1e-4)
+    for key in ("stab", "out", "step5", "mouth"):
+        x, y = a[key], b[key]
+        assert x.shape == y.shape and x.dtype == np.uint8, key
+        diff = np.abs(x.astype(np.int32) - y.astype(np.int32))
+        # uint8 stages: layout-dependent accumulation order flips a tiny
+        # fraction of pixels across rounding boundaries (see above)
+        assert (diff <= 2).mean() > 0.99, (key, diff.mean(), diff.max())
