@@ -17,7 +17,11 @@ import sys
 import numpy as np
 
 
-def load_models(checkpoint_dir: str, cfg=None):
+def load_models(checkpoint_dir: str, cfg=None, mesh=None):
+    """Build PipelineModels from a checkpoint dir. ``mesh`` (a
+    jax.sharding.Mesh) threads into the enhancement/restoration hooks so
+    their chunks run frame-sharded over the mesh's data axis — pass the
+    same mesh to LipSyncPipeline (see main())."""
     import jax
 
     from s2v_tpu.pipeline.inference import PipelineModels
@@ -111,7 +115,7 @@ def load_models(checkpoint_dir: str, cfg=None):
             {"retinaface": aux["retinaface"], "parsenet": aux["parsenet"],
              "facegan": gan512},
             in_size=512, dtype=dt, approx_warp=aw, det_dtype=ddt,
-            parse_size=ps,
+            parse_size=ps, mesh=mesh,
         )
         # Step-5 reference enhancement, batched over the whole clip
         # (inference.py:225-227,234-238: in_size 512, face_enhance=False)
@@ -144,7 +148,8 @@ def load_models(checkpoint_dir: str, cfg=None):
             approx_warp=cfg.model.approx_warp if cfg is not None else False,
             det_dtype=(cfg.model.detector_dtype
                        if cfg is not None else "float32"),
-            parse_size=cfg.model.parse_size if cfg is not None else 512)
+            parse_size=cfg.model.parse_size if cfg is not None else 512,
+            mesh=mesh)
 
         def final_hook(frames, boxes_xyxy):
             # bbox only matters on the non-SR possion fallback
@@ -163,7 +168,8 @@ def load_models(checkpoint_dir: str, cfg=None):
                    if cfg is not None else "float32"),
         parse_size=cfg.model.parse_size if cfg is not None else 512,
         parse_dtype=(cfg.model.detector_dtype
-                     if cfg is not None else "float32"))
+                     if cfg is not None else "float32"),
+        mesh=mesh)
     gani_path = maybe("30_net_gen.pth") or maybe("ganimation.pth")
     if gani_path:
         models.ganimation = as_vars(
@@ -243,8 +249,16 @@ def main(argv=None):
     if command == "infer":
         from s2v_tpu.pipeline.inference import LipSyncPipeline
 
-        models = load_models(cfg.infer.checkpoint_dir, cfg)
-        pipe = LipSyncPipeline(cfg, models)
+        mesh = None
+        if cfg.parallel.infer_mesh:
+            # frame-axis sharding of every stage over the device mesh
+            # (--parallel.infer_mesh true [--parallel.data_parallel N])
+            from s2v_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.parallel.data_parallel,
+                             cfg.parallel.model_parallel)
+        models = load_models(cfg.infer.checkpoint_dir, cfg, mesh=mesh)
+        pipe = LipSyncPipeline(cfg, models, mesh=mesh)
         out = pipe.run(cfg.infer.face, cfg.infer.audio, cfg.infer.outfile)
         print("outfile:", out)
     elif command == "train":

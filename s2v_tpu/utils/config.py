@@ -89,6 +89,10 @@ class ParallelConfig:
     model_axis: str = "model"
     data_parallel: int = -1      # -1: all devices
     model_parallel: int = 1
+    # CLI inference over a device mesh: shard every pipeline stage's frame
+    # axis (data_parallel x model_parallel devices). Off by default — one
+    # chip needs no mesh and single-device placement is marginally cheaper.
+    infer_mesh: bool = False
 
 
 @dataclass(frozen=True)
