@@ -109,14 +109,29 @@ class DNet(nn.Module):
     - driving_source: [B, 27, 73] 3DMM coefficient window (NLC)
 
     Returns dict(flow_field, warp_image, fake_image).
+
+    Width knobs (production defaults = the reference geometry,
+    DNet.py:13-28): ``descriptor_nc`` the mapping descriptor,
+    ``warp_base_nc``/``edit_base_nc`` the hourglass/editing stem widths,
+    ``max_nc`` the channel cap. Small values give structurally-identical
+    test graphs at a fraction of the FLOPs.
     """
+
+    descriptor_nc: int = 256
+    warp_base_nc: int = 32
+    edit_base_nc: int = 64
+    max_nc: int = 256
 
     @nn.compact
     def __call__(self, input_image, driving_source, stage: Optional[str] = None):
-        descriptor = MappingNet(name="mapping_net")(driving_source)
-        output = WarpingNet(name="warpping_net")(input_image, descriptor)
+        descriptor = MappingNet(descriptor_nc=self.descriptor_nc,
+                                name="mapping_net")(driving_source)
+        output = WarpingNet(descriptor_nc=self.descriptor_nc,
+                            base_nc=self.warp_base_nc, max_nc=self.max_nc,
+                            name="warpping_net")(input_image, descriptor)
         if stage != "warp":
-            output["fake_image"] = EditingNet(name="editing_net")(
-                input_image, output["warp_image"], descriptor
-            )
+            output["fake_image"] = EditingNet(
+                descriptor_nc=self.descriptor_nc, base_nc=self.edit_base_nc,
+                max_nc=self.max_nc, name="editing_net",
+            )(input_image, output["warp_image"], descriptor)
         return output

@@ -106,7 +106,9 @@ class Decoder(nn.Module):
         out = skips.pop()
         for i in reversed(range(self.layers)):
             if i == self.layers - 1:
-                in_ch = self.ngf * (2 ** (i + 1)) * 2
+                # bottleneck concat of inp+ref streams (LNet.py:42); clamp to
+                # img_f BEFORE doubling so slim test widths stay consistent
+                in_ch = min(self.ngf * (2 ** (i + 1)), self.img_f) * 2
             else:
                 in_ch = min(self.ngf * (2 ** (i + 1)), self.img_f)
             out_ch = min(self.ngf * (2 ** i), self.img_f)

@@ -52,17 +52,19 @@ class ResNet(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     pool_output: bool = True
     return_stages: bool = False
+    base_planes: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = Conv(64, (7, 7), (2, 2), (3, 3), use_bias=False, name="conv1")(x)
-        x = jax.nn.relu(BatchNorm2d(64, name="bn1")(x, train))
+        x = Conv(self.base_planes, (7, 7), (2, 2), (3, 3), use_bias=False,
+                 name="conv1")(x)
+        x = jax.nn.relu(BatchNorm2d(self.base_planes, name="bn1")(x, train))
         # torch MaxPool2d(3, 2, padding=1): pad with -inf then VALID 3x3 s2
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
         x = nn.max_pool(x, (3, 3), (2, 2))
 
-        planes = 64
+        planes = self.base_planes
         stages = []
         for stage, n_blocks in enumerate(self.layers):
             stride = 1 if stage == 0 else 2
@@ -89,11 +91,18 @@ class ReconNet(nn.Module):
     id(80) | exp(64) | tex(80) | angle(3) | gamma(27) | tx,ty(2) | tz(1).
 
     Input: [B, 224, 224, 3] RGB in [0, 1].
+
+    ``layers``/``base_planes`` size the ResNet backbone (production =
+    ResNet50); small values give structurally-identical test graphs.
     """
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    base_planes: int = 64
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        feat = ResNet(name="backbone")(x, train)  # [B,1,1,2048]
+        feat = ResNet(layers=self.layers, base_planes=self.base_planes,
+                      name="backbone")(x, train)  # [B,1,1,2048]
         dims = [80, 64, 80, 3, 27, 2, 1]
         outs = []
         for i, d in enumerate(dims):

@@ -389,7 +389,7 @@ class LipSyncPipeline:
             trans_params[i] = tp
 
         if "recon" not in self._jits:
-            model = ReconNet()
+            model = self._recon_arch(self.models.recon)
             self._jits["recon"] = jax.jit(
                 lambda v, x: model.apply(v, x.astype(jnp.float32) / 255.0)
             )
@@ -444,7 +444,7 @@ class LipSyncPipeline:
         )
 
         if "dnet" not in self._jits:
-            model = DNet()
+            model = self._dnet_arch(self.models.dnet)
             dt = self._dt
 
             @jax.jit
@@ -477,20 +477,75 @@ class LipSyncPipeline:
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _enet_depth(enet_vars) -> int:
-        """LNet decoder depth inferred from the variable tree — converted
-        reference checkpoints are the production 9 blocks/level; test
+    def _recon_arch(recon_vars) -> ReconNet:
+        """ReconNet geometry inferred from the variable tree — converted
+        reference checkpoints are ResNet50 (networks.py:69-104); test
         fixtures may supply slim graphs."""
+        try:
+            bb = recon_vars["params"]["backbone"]
+            base = int(bb["conv1"]["weight"].shape[-1])
+            counts = [0, 0, 0, 0]
+            for k in bb:
+                if k.startswith("layer"):
+                    counts[int(k[5]) - 1] += 1
+            if not all(counts):
+                return ReconNet()
+            return ReconNet(layers=tuple(counts), base_planes=base)
+        except (KeyError, TypeError, AttributeError, ValueError, IndexError):
+            return ReconNet()
+
+    @staticmethod
+    def _dnet_arch(dnet_vars) -> DNet:
+        """DNet geometry inferred from the variable tree — converted
+        reference checkpoints are the production widths (DNet.py:13-28);
+        test fixtures may supply slim graphs."""
+        try:
+            p = dnet_vars["params"]
+            desc = int(p["mapping_net"]["first_weight"].shape[-1])
+            hg = p["warpping_net"]["hourglass"]
+            warp_base = int(hg["input_layer"]["weight"].shape[-1])
+            max_nc = max(int(v["conv_0"]["weight"].shape[-1])
+                         for k, v in hg.items() if k.startswith("encoder"))
+            enc = p["editing_net"]["encoder"]
+            edit_base = int(enc["first"]["conv"]["weight"].shape[-1])
+            return DNet(descriptor_nc=desc, warp_base_nc=warp_base,
+                        edit_base_nc=edit_base, max_nc=max_nc)
+        except (KeyError, TypeError, AttributeError, ValueError):
+            return DNet()
+
+    @staticmethod
+    def _enet_arch(enet_vars) -> ENet:
+        """ENet geometry (LNet depth/width + StyleGAN channel table)
+        inferred from the variable tree — converted reference checkpoints
+        are the production geometry (ENet.py:22-32); test fixtures may
+        supply slim graphs."""
+        kw = {}
         try:
             dec = enet_vars["params"]["low_res"]["decoder"]
             outer = next(v for k, v in dec.items() if k.startswith("res"))
-            return sum(1 for k in outer if k.startswith("res"))
+            kw["lnet_res_blocks"] = sum(1 for k in outer if k.startswith("res"))
         except (KeyError, StopIteration, TypeError, AttributeError):
-            return 9
+            pass
+        try:
+            p = enet_vars["params"]
+            se = p["style_encoder"]
+            kw["num_style_feat"] = int(se["final_linear"]["weight"].shape[-1])
+            narrow = int(se["final_conv"]["weight"].shape[-1]) / 512.0
+            ch128 = int(se["conv_body_first"]["weight"].shape[-1])
+            kw["narrow"] = narrow
+            kw["channel_multiplier"] = ch128 / (128.0 * narrow)
+            enc = p["low_res"]["encoder"]
+            kw["lnet_base_nc"] = int(enc["first_inp"]["conv"]["weight"].shape[-1])
+            kw["lnet_max_nc"] = max(int(v["conv"]["weight"].shape[-1])
+                                    for k, v in enc.items()
+                                    if k.startswith("inp_down"))
+        except (KeyError, TypeError, AttributeError, ValueError):
+            pass
+        return ENet(**kw)
 
     def _enet_fn(self):
         if "enet" not in self._jits:
-            model = ENet(lnet_res_blocks=self._enet_depth(self.models.enet))
+            model = self._enet_arch(self.models.enet)
             dt = self._dt
 
             @jax.jit

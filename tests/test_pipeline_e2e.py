@@ -63,11 +63,17 @@ def synthetic_landmarks(n, h, w):
 def pipeline():
     rng = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(rng, 3)
-    recon_vars = ReconNet().init(k1, jnp.zeros((1, 224, 224, 3)))
-    dnet_vars = DNet().init(k2, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 26, 73)))
-    # slim LNet decoder: full 9-block depth is covered by
-    # test_weight_parity; this fixture tests the pipeline plumbing
-    enet = ENet(lnet_res_blocks=2)
+    # slim geometry throughout: the pipeline infers the arch from the
+    # variable trees (LipSyncPipeline._recon_arch/_dnet_arch/_enet_arch);
+    # full production geometry is covered by test_weight_parity. This
+    # fixture tests the pipeline plumbing.
+    recon_vars = ReconNet(layers=(1, 1, 1, 1), base_planes=8).init(
+        k1, jnp.zeros((1, 224, 224, 3)))
+    dnet_vars = DNet(descriptor_nc=16, warp_base_nc=8, edit_base_nc=8,
+                     max_nc=32).init(
+        k2, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 26, 73)))
+    enet = ENet(lnet_res_blocks=2, channel_multiplier=0.25, narrow=0.25,
+                lnet_base_nc=8, lnet_max_nc=32)
     enet_vars = enet.init(
         k3, jnp.zeros((1, 80, 16, 1)), jnp.zeros((1, 384, 384, 6)),
         jnp.zeros((1, 384, 384, 3)),
