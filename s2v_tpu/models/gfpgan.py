@@ -360,3 +360,44 @@ class GFPGANv1(nn.Module):
         )(style_code, conditions, input_is_latent=self.input_is_latent,
           deterministic=deterministic)
         return image, out_rgbs
+
+
+def gfpgan_arch(variables, arch: str = "clean", out_size: int = 512, **kw):
+    """GFPGAN geometry (narrow / channel_multiplier / num_style_feat /
+    num_mlp) inferred from a variable tree — converted GFPGANv1.x
+    checkpoints are the production widths (gfpgan/utils.py:43-82), test
+    fixtures may be narrow. ``arch``/``out_size`` and the bool wiring
+    flags stay caller-chosen (utils.py picks them per checkpoint file
+    name); explicit ``kw`` entries override inferred values. Shape-only:
+    eval_shape trees work."""
+    cls = GFPGANv1Clean if arch == "clean" else GFPGANv1
+    try:
+        p = variables["params"]
+        conv = (lambda t: t["weight"]) if arch == "clean" else (
+            lambda t: t["conv"]["weight"])
+        unet_narrow = float(conv(p["final_conv"]).shape[-1]) / 512.0
+        base = _channels(unet_narrow, 1)[out_size]
+        cm = int(conv(p["conv_body_first"]).shape[-1]) / base
+        dec = p["stylegan_decoder"]
+        num_mlp = sum(1 for k in dec
+                      if k.startswith("style_mlp") and k[9:].isdigit())
+        num_mlp = num_mlp or sum(1 for k in dec
+                                 if k.startswith("style") and k[5:].isdigit())
+        out_dim = int(p["final_linear"]["weight"].shape[-1])
+        n_latent = 2 * int(math.log2(out_size)) - 2
+        different_w = kw.get("different_w", cls.different_w)
+        if different_w and out_dim % n_latent == 0:
+            num_style_feat = out_dim // n_latent
+        else:
+            num_style_feat = out_dim
+        inferred = dict(
+            out_size=out_size,
+            num_style_feat=num_style_feat,
+            channel_multiplier=int(cm) if cm == int(cm) else cm,
+            narrow=2.0 * unet_narrow,
+            num_mlp=num_mlp or cls.num_mlp,
+        )
+        inferred.update(kw)
+        return cls(**inferred)
+    except (KeyError, TypeError, AttributeError, ZeroDivisionError):
+        return cls(out_size=out_size, **kw)

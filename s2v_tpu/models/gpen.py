@@ -429,3 +429,29 @@ class Discriminator(nn.Module):
         flat = jnp.transpose(out, (0, 3, 1, 2)).reshape(b, -1)
         out = EqualLinear(ch[4], activation="fused_lrelu", name="final_linear0")(flat)
         return EqualLinear(1, name="final_linear1")(out)
+
+
+def fullgenerator_arch(variables, size: int = 512) -> FullGenerator:
+    """FullGenerator geometry (narrow / channel_multiplier / style_dim /
+    n_mlp) inferred from a variable tree — converted GPEN-BFR checkpoints
+    are the production table (gpen_model.py:640-652), test fixtures may be
+    narrow. ``size`` stays caller-chosen (it is a runtime resolution, not
+    recoverable from widths alone). Shape-only: eval_shape trees work."""
+    try:
+        p = variables["params"]
+        gen = p["generator"]
+        narrow = float(gen["constant_input"].shape[-1]) / 512.0
+        kw = dict(
+            size=size,
+            style_dim=int(p["final_linear"]["weight"].shape[-1]),
+            n_mlp=sum(1 for k in gen
+                      if k.startswith("style") and k[5:].isdigit()),
+            narrow=narrow,
+        )
+        base = channels_table(narrow, 1)[size]
+        if size >= 64:  # cm only reaches the table at res >= 64
+            cm = int(p["ecd0"]["conv"]["weight"].shape[-1]) / base
+            kw["channel_multiplier"] = int(cm) if cm == int(cm) else cm
+        return FullGenerator(**kw)
+    except (KeyError, TypeError, AttributeError, ZeroDivisionError):
+        return FullGenerator(size=size)

@@ -123,3 +123,31 @@ def parse_mask(logits: jnp.ndarray, colormap: Sequence[float]) -> jnp.ndarray:
 MOUTH_COLORMAP = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 255, 255, 255, 0, 0, 0, 0, 0, 0]
 # GPEN full-face blending colormap (face_parsing.py:48 default)
 FACE_COLORMAP = [0, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 255, 0, 0, 0, 0, 0, 0]
+
+
+def parsenet_arch(variables) -> "ParseNet":
+    """ParseNet geometry inferred from a variable tree — converted
+    ParseNet-latest checkpoints are the production widths
+    (parse_model.py:22-43), test fixtures may be narrow. The inferred
+    min/max channel clips reproduce the observed widths exactly for any
+    tree this module produced. Shape-only: eval_shape trees work."""
+    try:
+        p = variables["params"]
+
+        def width(tree):  # PConvLayer (encoder0) or PResidualBlock
+            if "conv2d" in tree:
+                return int(tree["conv2d"]["weight"].shape[-1])
+            return int(tree["conv2"]["conv2d"]["weight"].shape[-1])
+
+        base_ch = width(p["encoder0"])
+        enc_w = [width(v) for k, v in p.items() if k.startswith("encoder")]
+        body_w = [width(v) for k, v in p.items() if k.startswith("body")]
+        return ParseNet(
+            base_ch=base_ch,
+            min_ch=min(enc_w),
+            max_ch=max(enc_w + body_w),
+            res_depth=len(body_w),
+            parsing_ch=width(p["out_mask_conv"]),
+        )
+    except (KeyError, TypeError, AttributeError, ValueError):
+        return ParseNet()

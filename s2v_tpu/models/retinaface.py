@@ -226,3 +226,19 @@ def retinaface_mnet() -> RetinaFace:
     """cfg_mnet configuration (config.py:3-21): MobileNetV1 x0.25 backbone,
     out_channel 64. Same priors/steps/variances as cfg_re50."""
     return RetinaFace(out_channel=64, backbone="mobilenet0.25")
+
+
+def retinaface_arch(variables) -> RetinaFace:
+    """RetinaFace geometry inferred from a variable tree: picks cfg_re50
+    (ResNet50 body, out_channel 256) vs cfg_mnet (MobileNetV1 x0.25,
+    out_channel 64) the way the reference loaders pick the cfg per
+    checkpoint file (retinaface_detection.py:19-40). Needs only leaf
+    *shapes*, so eval_shape trees work. Falls back to cfg_re50."""
+    try:
+        p = variables["params"]
+        backbone = ("mobilenet0.25" if "stage1_0" in p["body"]
+                    else "resnet50")
+        out_channel = int(p["fpn"]["output1"]["conv"]["weight"].shape[-1])
+        return RetinaFace(out_channel=out_channel, backbone=backbone)
+    except (KeyError, TypeError, AttributeError):
+        return RetinaFace()

@@ -124,3 +124,24 @@ def tile_process(apply_fn, img, scale: int, tile_size: int = 256,
                 :, oy : oy + (ey - sy) * scale, ox : ox + (ex - sx) * scale, :
             ]
     return out
+
+
+def rrdbnet_arch(variables, scale: int = 4, num_out_ch: int = 3) -> RRDBNet:
+    """RRDBNet geometry (num_feat / num_block / num_grow_ch) inferred from
+    a variable tree — converted realesrnet checkpoints are the production
+    widths (rrdbnet_arch.py:93-101), test fixtures may be narrow. ``scale``
+    stays caller-chosen (it changes data layout, not parameter shapes for
+    x2 vs x1 pixel-unshuffle variants). Shape-only: eval_shape trees work."""
+    try:
+        p = variables["params"]
+        return RRDBNet(
+            num_out_ch=num_out_ch,
+            scale=scale,
+            num_feat=int(p["conv_first"]["weight"].shape[-1]),
+            num_block=sum(1 for k in p
+                          if k.startswith("body") and k[4:].isdigit()),
+            num_grow_ch=int(
+                p["body0"]["rdb1"]["conv1"]["weight"].shape[-1]),
+        )
+    except (KeyError, TypeError, AttributeError):
+        return RRDBNet(scale=scale, num_out_ch=num_out_ch)

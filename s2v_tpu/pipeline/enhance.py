@@ -230,12 +230,12 @@ class FaceEnhancer:
                  chunk: Optional[int] = None, dtype: str = "bfloat16",
                  approx_warp: bool = False, det_dtype: str = "float32",
                  parse_size: int = 512, mesh=None):
-        from s2v_tpu.models.gpen import FullGenerator
-        from s2v_tpu.models.parsenet import ParseNet, parse_mask
+        from s2v_tpu.models.gpen import fullgenerator_arch
+        from s2v_tpu.models.parsenet import parse_mask, parsenet_arch
         from s2v_tpu.models.retinaface import (
-            RETINA_MEAN, RetinaFace, detect_faces,
+            RETINA_MEAN, detect_faces, retinaface_arch,
         )
-        from s2v_tpu.models.rrdbnet import RRDBNet
+        from s2v_tpu.models.rrdbnet import RRDBNet, rrdbnet_arch
 
         self.models = models
         self.in_size = in_size
@@ -258,9 +258,12 @@ class FaceEnhancer:
         else:
             self._place = lambda c: c
 
-        retina = RetinaFace()
-        facegan = FullGenerator(size=in_size)
-        parser = ParseNet()
+        # model geometry is inferred from the variable trees (converted
+        # reference checkpoints resolve to the production configs; slim
+        # test trees and cfg_mnet RetinaFace checkpoints resolve to theirs)
+        retina = retinaface_arch(models["retinaface"])
+        facegan = fullgenerator_arch(models["facegan"], size=in_size)
+        parser = parsenet_arch(models["parsenet"])
         s = in_size
         # opt-in approx mode (config model.approx_warp): similarity warps
         # run as two sheared separable passes (zero per-pixel gathers, MXU
@@ -294,11 +297,18 @@ class FaceEnhancer:
             return detect_faces(retina_fwd(variables, bgr),
                                 frames_rgb.shape[1:3], threshold)
 
+        # RealESRNet geometry from the converted checkpoint (num_feat 32 in
+        # the reference's final-enhancement config, real_esrnet.py:9-22);
+        # sr_num_feat remains the fallback for trees the inference can't read
+        srmodel = rrdbnet_arch(models["srmodel"], scale=sr_scale) \
+            if models.get("srmodel") is not None else None
+        if srmodel is not None and "conv_first" not in (
+                models["srmodel"].get("params") or {}):
+            srmodel = RRDBNet(scale=sr_scale, num_feat=sr_num_feat)
+
         @jax.jit
         def sr(variables, frames_rgb):  # [B,H,W,3] 0..255 -> [B,sH,sW,3]
-            # RealESRNet config for the final-enhancement stage: num_feat 32
-            # (real_esrnet.py:9-22, constructed at inference.py:228-231)
-            out = RRDBNet(scale=sr_scale, num_feat=sr_num_feat).apply(
+            out = srmodel.apply(
                 variables,
                 (frames_rgb.astype(jnp.float32) / 255.0).astype(dt))
             return (jnp.clip(out.astype(jnp.float32), 0.0, 1.0)

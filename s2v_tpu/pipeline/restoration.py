@@ -52,9 +52,9 @@ class GFPGANRestorer:
                  gfpgan_kwargs: Optional[Dict] = None,
                  dtype: str = "bfloat16", approx_warp: bool = False,
                  det_dtype: str = "float32", mesh=None):
-        from s2v_tpu.models.gfpgan import GFPGANv1, GFPGANv1Clean
+        from s2v_tpu.models.gfpgan import gfpgan_arch
         from s2v_tpu.models.retinaface import (
-            RETINA_MEAN, RetinaFace, detect_faces,
+            RETINA_MEAN, detect_faces, retinaface_arch,
         )
 
         self.models = models
@@ -69,12 +69,19 @@ class GFPGANRestorer:
             self._place = lambda c: c
         self.template = FACEXLIB_TEMPLATE_512 * (size / 512.0)
         kw = dict(gfpgan_kwargs or {})
-        retina = RetinaFace()
+        # geometry (widths/style dims) from the converted checkpoint's
+        # variable tree; arch + wiring flags stay config-chosen the way
+        # gfpgan/utils.py:43-82 picks them per checkpoint file
+        retina = retinaface_arch(models["retinaface"])
         if arch == "clean":
-            gfpgan = GFPGANv1Clean(out_size=size, **kw)
+            gfpgan = gfpgan_arch(models["gfpgan"], arch="clean",
+                                 out_size=size, **kw)
         else:  # 'original'/'bilinear': utils.py:63-74 GFPGANv1.pth config
-            gfpgan = GFPGANv1(input_is_latent=True, different_w=True,
-                              sft_half=True, channel_multiplier=1, **kw)
+            kw.setdefault("input_is_latent", True)
+            kw.setdefault("different_w", True)
+            kw.setdefault("sft_half", True)
+            gfpgan = gfpgan_arch(models["gfpgan"], arch="original",
+                                 out_size=size, **kw)
 
         # RetinaFace conv dtype (config model.detector_dtype): f32 default
         # matches the reference; bf16 runs the detector convs at MXU full
@@ -264,13 +271,15 @@ def make_mouth_restorer(models: Dict, chunk: int = 16,
                for k in ("retinaface", "gfpgan", "parsenet")):
         return None
 
-    from s2v_tpu.models.parsenet import MOUTH_COLORMAP, ParseNet, parse_mask
+    from s2v_tpu.models.parsenet import MOUTH_COLORMAP, parse_mask, parsenet_arch
 
     restorer = GFPGANRestorer(models, arch=models.get("gfpgan_arch", "clean"),
                               chunk=chunk, approx_warp=approx_warp,
                               det_dtype=det_dtype, mesh=mesh, size=size,
                               gfpgan_kwargs=gfpgan_kwargs)
-    parser = ParseNet()
+    # geometry from the converted checkpoint (production widths) or a slim
+    # test tree — same contract as LipSyncPipeline._enet_arch
+    parser = parsenet_arch(models["parsenet"])
     # ParseNet working resolution + conv dtype (config model.parse_size /
     # model.detector_dtype): 512/f32 is the reference geometry; 256/bf16
     # quarters the parser's bandwidth floor and runs its convs at MXU full

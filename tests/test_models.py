@@ -39,12 +39,11 @@ def test_visual_encoder_shapes(rng):
     ]
 
 
-@pytest.mark.slow
 def test_lnet_forward_jit(rng):
     mel = jnp.zeros((2, 80, 16, 1))
     face = jnp.zeros((2, 96, 96, 6))
-    # slim decoder: full 9-block depth is covered by test_weight_parity
-    model = LNet(num_res_blocks=2)
+    # slim graph: full geometry is covered by test_weight_parity
+    model = LNet(num_res_blocks=2, base_nc=8, max_nc=32)
     var = model.init(rng, mel, face)
     out = jax.jit(lambda v, a, f: model.apply(v, a, f))(var, mel, face)
     assert out.shape == (2, 96, 96, 3)
@@ -53,11 +52,11 @@ def test_lnet_forward_jit(rng):
     assert (out_np >= 0).all() and (out_np <= 1).all()  # sigmoid output
 
 
-@pytest.mark.slow
 def test_dnet_forward_jit(rng):
     img = jnp.zeros((2, 256, 256, 3))
     coeff = jnp.zeros((2, 27, 73))
-    model = DNet()
+    # slim widths: full geometry is covered by test_weight_parity
+    model = DNet(descriptor_nc=16, warp_base_nc=8, edit_base_nc=8, max_nc=32)
     var = model.init(rng, img, coeff)
     out = jax.jit(lambda v, i, c: model.apply(v, i, c))(var, img, coeff)
     assert out["flow_field"].shape == (2, 64, 64, 2)
@@ -73,8 +72,10 @@ def test_enet_forward_jit(rng):
     mel = jnp.zeros((1, 80, 16, 1))
     face = jnp.zeros((1, 384, 384, 6))
     gt = jnp.zeros((1, 384, 384, 3))
-    # slim LNet: full depth is covered by test_weight_parity
-    model = ENet(lnet_res_blocks=2)
+    # slim widths: full geometry is covered by test_weight_parity (still
+    # slow-marked: the 384^2 style convs dominate regardless of width)
+    model = ENet(lnet_res_blocks=2, channel_multiplier=0.25, narrow=0.25,
+                 lnet_base_nc=8, lnet_max_nc=32)
     var = model.init(rng, mel, face, gt)
     pred, low_res = jax.jit(lambda v, a, f, g: model.apply(v, a, f, g))(
         var, mel, face, gt
@@ -91,7 +92,8 @@ def test_enet_lnet_frozen(rng):
     mel = jnp.zeros((1, 80, 16, 1))
     face = jnp.ones((1, 384, 384, 6)) * 0.5
     gt = jnp.ones((1, 384, 384, 3)) * 0.5
-    model = ENet(lnet_res_blocks=2)
+    model = ENet(lnet_res_blocks=2, channel_multiplier=0.25, narrow=0.25,
+                 lnet_base_nc=8, lnet_max_nc=32)
     var = model.init(rng, mel, face, gt)
 
     def loss_fn(params):

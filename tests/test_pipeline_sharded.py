@@ -134,12 +134,10 @@ def test_full_stage_graph_sharded_matches_single_device():
     Real programs at test geometry (FAN with 1 module, slim ENet decoder,
     64^2 GPEN/GFPGAN, 256^2 ParseNet) — the same programs both sides, so
     only the partitioning differs."""
+    from slim_zoo import (slim_facegan_vars, slim_gfpgan_vars,
+                          slim_parsenet_vars, slim_retinaface_vars)
     from s2v_tpu.models.fan import FAN
-    from s2v_tpu.models.gfpgan import GFPGANv1Clean
-    from s2v_tpu.models.gpen import FullGenerator
-    from s2v_tpu.models.parsenet import ParseNet
     from s2v_tpu.models.resnet import ReconNet
-    from s2v_tpu.models.retinaface import RetinaFace
     from s2v_tpu.models.s3fd import S3FD
     from s2v_tpu.pipeline.enhance import FaceEnhancer
     from s2v_tpu.pipeline.restoration import make_mouth_restorer
@@ -148,12 +146,19 @@ def test_full_stage_graph_sharded_matches_single_device():
     rng = jax.random.PRNGKey(0)
     ks = jax.random.split(rng, 8)
     z = jnp.zeros
+    # slim widths throughout (the drivers infer geometry from the trees);
+    # the contract under test is sharded == single-device on the SAME
+    # program, which is width-independent
     models = PipelineModels(
         s3fd=S3FD().init(ks[0], z((1, H, W, 3))),
         fan=FAN(num_modules=1).init(ks[1], z((1, 256, 256, 3))),
-        recon=ReconNet().init(ks[2], z((1, 224, 224, 3))),
-        dnet=DNet().init(ks[3], z((1, 256, 256, 3)), z((1, 26, 73))),
-        enet=ENet(lnet_res_blocks=2).init(
+        recon=ReconNet(layers=(1, 1, 1, 1), base_planes=8).init(
+            ks[2], z((1, 224, 224, 3))),
+        dnet=DNet(descriptor_nc=16, warp_base_nc=8, edit_base_nc=8,
+                  max_nc=32).init(ks[3], z((1, 256, 256, 3)),
+                                  z((1, 26, 73))),
+        enet=ENet(lnet_res_blocks=2, channel_multiplier=0.25, narrow=0.25,
+                  lnet_base_nc=8, lnet_max_nc=32).init(
             ks[4], z((1, 80, 16, 1)), z((1, 384, 384, 6)),
             z((1, 384, 384, 3))),
         lm3d=np.asarray(
@@ -163,14 +168,10 @@ def test_full_stage_graph_sharded_matches_single_device():
     )
     gpen_size = 64
     hook_models = {
-        "retinaface": RetinaFace().init(ks[5], z((1, H, W, 3))),
-        "parsenet": ParseNet().init(ks[6], z((1, 256, 256, 3))),
-        "facegan": FullGenerator(size=gpen_size).init(
-            ks[7], z((1, gpen_size, gpen_size, 3))),
-        "gfpgan": GFPGANv1Clean(
-            out_size=gpen_size, num_style_feat=128, channel_multiplier=1,
-            num_mlp=2).init(
-                jax.random.PRNGKey(5), z((1, gpen_size, gpen_size, 3))),
+        "retinaface": slim_retinaface_vars(ks[5], hw=H),
+        "parsenet": slim_parsenet_vars(ks[6], hw=256),
+        "facegan": slim_facegan_vars(ks[7], in_size=gpen_size),
+        "gfpgan": slim_gfpgan_vars(jax.random.PRNGKey(5), size=gpen_size),
     }
 
     frames = (RNG.rand(N, H, W, 3) * 255).astype(np.uint8)
@@ -221,9 +222,7 @@ def test_full_stage_graph_sharded_matches_single_device():
             hook = make_mouth_restorer(
                 {k: hook_models[k]
                  for k in ("retinaface", "parsenet", "gfpgan")},
-                chunk=8, parse_size=256, mesh=m, size=gpen_size,
-                gfpgan_kwargs=dict(num_style_feat=128,
-                                   channel_multiplier=1, num_mlp=2))
+                chunk=8, parse_size=256, mesh=m, size=gpen_size)
             mouth = hook(frames.astype(np.float32), boxes)
             outs[name] = dict(lms=lms, det_boxes=det_boxes, sem=sem,
                               stab=stab, out=out, step5=step5, mouth=mouth)

@@ -51,23 +51,17 @@ def test_affine_warp_inverse_mode():
 
 @pytest.fixture(scope="module")
 def enhancer_models():
-    from s2v_tpu.models.gpen import FullGenerator
-    from s2v_tpu.models.parsenet import ParseNet
-    from s2v_tpu.models.retinaface import RetinaFace
-    from s2v_tpu.models.rrdbnet import RRDBNet
+    from slim_zoo import (slim_facegan_vars, slim_parsenet_vars,
+                          slim_retinaface_vars, slim_srmodel_vars)
 
     rng = jax.random.PRNGKey(3)
     k1, k2, k3, k4 = jax.random.split(rng, 4)
-    in_size = 64
+    # slim widths throughout: the drivers infer geometry from the trees
     return {
-        "retinaface": RetinaFace().init(k1, jnp.zeros((1, 96, 96, 3))),
-        "facegan": FullGenerator(size=in_size).init(
-            k2, jnp.zeros((1, in_size, in_size, 3))
-        ),
-        "parsenet": ParseNet().init(k3, jnp.zeros((1, 512, 512, 3))),
-        "srmodel": RRDBNet(scale=2, num_feat=32).init(
-            k4, jnp.zeros((1, 48, 48, 3))
-        ),
+        "retinaface": slim_retinaface_vars(k1, hw=96),
+        "facegan": slim_facegan_vars(k2, in_size=64),
+        "parsenet": slim_parsenet_vars(k3),
+        "srmodel": slim_srmodel_vars(k4),
     }
 
 
@@ -150,21 +144,19 @@ def test_face_enhancer_batch_matches_single(enhancer_models):
 @pytest.mark.slow
 def test_mouth_restorer_batched(enhancer_models):
     """make_mouth_restorer: batched GFPGAN restore + mouth mask + blend."""
-    from s2v_tpu.models.gfpgan import GFPGANv1Clean
+    from slim_zoo import slim_gfpgan_vars
     from s2v_tpu.pipeline.restoration import GFPGANRestorer, make_mouth_restorer
 
     size = 64
-    kw = dict(num_style_feat=128, channel_multiplier=1, num_mlp=2)
-    gfp_vars = GFPGANv1Clean(out_size=size, **kw).init(
-        jax.random.PRNGKey(5), jnp.zeros((1, size, size, 3)))
     models = {
         "retinaface": enhancer_models["retinaface"],
         "parsenet": enhancer_models["parsenet"],
-        "gfpgan": gfp_vars,
+        # no gfpgan_kwargs: the restorer must reconstruct the geometry
+        # purely from the variable tree (models.gfpgan.gfpgan_arch)
+        "gfpgan": slim_gfpgan_vars(jax.random.PRNGKey(5), size=size),
     }
     # chunk=1: single vs batch must run the same program (see above)
-    restorer = GFPGANRestorer(models, threshold=-1.0, chunk=1, size=size,
-                              gfpgan_kwargs=kw)
+    restorer = GFPGANRestorer(models, threshold=-1.0, chunk=1, size=size)
     frames = (RNG.rand(3, 96, 96, 3) * 255).astype(np.uint8)
     restored = restorer.enhance_batch(frames)
     assert restored.shape == frames.shape and restored.dtype == np.uint8
