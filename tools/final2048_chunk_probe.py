@@ -1,0 +1,86 @@
+"""HBM-feasibility + throughput probe for chunk>1 on the final
+GPEN-BFR-2048 + RealESRNet x2 stage (verdict r3 item 4).
+
+The product path pins ``chunk=1`` at 2048^2 (FaceEnhancer.__init__
+defaults ``1 if in_size >= 1024``); round-3 never established whether a
+larger chunk fits v5e HBM or helps throughput — the stage is
+gather-descriptor-bound per the CPU roofline (tools/final2048_roofline.py),
+so batching the crop/paste gathers is exactly what should amortize the
+descriptor stream. This probe times the split 4-program chain
+(reference inference.py:228-231,319-328 scope) at chunk in {1, 2, 4},
+exact and ``approx_warp`` paths, on the real chip, and reports ms/frame
+per configuration; OOM/compile failures are caught and recorded as the
+feasibility verdict for that point.
+
+Run (relay up): python tools/final2048_chunk_probe.py
+Output: one JSON line; merged into BENCH_LOCAL.json by hand.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+
+def main() -> None:
+    from bench import _fill_variables
+    from s2v_tpu.models.gpen import FullGenerator
+    from s2v_tpu.models.parsenet import ParseNet
+    from s2v_tpu.models.retinaface import RetinaFace
+    from s2v_tpu.models.rrdbnet import RRDBNet
+    from s2v_tpu.pipeline.enhance import FaceEnhancer
+
+    z = np.zeros
+    aux = {
+        "retinaface": _fill_variables(
+            RetinaFace().init, z((1, 768, 768, 3), np.float32)),
+        "parsenet": _fill_variables(
+            ParseNet().init, z((1, 512, 512, 3), np.float32)),
+        "facegan": _fill_variables(
+            FullGenerator(size=2048).init, z((1, 2048, 2048, 3), np.float32)),
+        "srmodel": _fill_variables(
+            RRDBNet(scale=2, num_feat=32).init, z((1, 384, 384, 3),
+                                                  np.float32)),
+    }
+    rs = np.random.RandomState(11)
+    results = {}
+    n_iter = int(os.environ.get("S2V_PROBE_ITERS", "6"))
+    for approx in (False, True):
+        for chunk in (1, 2, 4):
+            key = f"chunk{chunk}_{'approx' if approx else 'exact'}"
+            try:
+                fin = FaceEnhancer(dict(aux), in_size=2048, use_sr=True,
+                                   sr_scale=2, chunk=chunk,
+                                   approx_warp=approx)
+                x = jnp.asarray((rs.rand(chunk, 768, 768, 3) * 255)
+                                .astype(np.uint8))
+                mb = jnp.ones((1, 1, 1, 1), jnp.float32)
+                # warm compile (all four split programs)
+                out = fin._enhance_split(True, "sr", x, x, mb)
+                jax.block_until_ready(out)
+                t0 = time.time()
+                for _ in range(n_iter):
+                    out = fin._enhance_split(True, "sr", out.astype(
+                        jnp.uint8), x, mb)
+                jax.block_until_ready(out)
+                ms_frame = (time.time() - t0) * 1000 / (n_iter * chunk)
+                results[key] = {"ok": True,
+                                "ms_per_frame": round(ms_frame, 2)}
+            except Exception as e:  # OOM / remote-compile abort = verdict
+                results[key] = {"ok": False,
+                                "error": f"{type(e).__name__}: {e}"[:300]}
+            sys.stderr.write(f"{key}: {results[key]}\n")
+    print(json.dumps({"metric": "final2048_chunk_probe", "value": None,
+                      "unit": "ms/frame", "vs_baseline": None,
+                      "detail": results}))
+
+
+if __name__ == "__main__":
+    main()
