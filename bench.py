@@ -38,6 +38,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from s2v_tpu.utils.jitcache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def _probe_backend(timeout_s: int = None, force_platform: str = None) -> dict:
     """Bounded backend health probe, run in a SUBPROCESS so a hung relay

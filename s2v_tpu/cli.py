@@ -246,6 +246,13 @@ def main(argv=None):
     command = argv.pop(0) if argv and not argv[0].startswith("--") else "infer"
     cfg = parse_args(argv)
 
+    # persistent XLA compilation cache: a second run of the same pipeline
+    # skips all XLA compiles (the programs, not just the per-video data the
+    # artifact cache covers)
+    from s2v_tpu.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     if command == "infer":
         from s2v_tpu.pipeline.inference import LipSyncPipeline
 

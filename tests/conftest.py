@@ -20,9 +20,8 @@ jax.config.update("jax_platforms", "cpu")
 
 # persistent compilation cache: repeat suite runs skip the big XLA compiles
 # (ENet/LNet/DNet graphs dominate wall time). First run populates it.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("S2V_JIT_CACHE", "/tmp/s2v_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+from s2v_tpu.utils.jitcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 assert jax.devices()[0].platform == "cpu", jax.devices()

@@ -37,6 +37,10 @@ if REPO not in sys.path:
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from parity_pipeline import raw_boxes, synthetic_lms  # noqa: E402
+from s2v_tpu.utils.jitcache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 CKPTS = os.environ.get("S2V_CKPTS", "/tmp/ckpts")
 N, H, W = 16, 160, 144

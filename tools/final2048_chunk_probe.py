@@ -27,6 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
+from s2v_tpu.utils.jitcache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 
 def main() -> None:

@@ -27,12 +27,17 @@ import sys
 import jax
 import jax.numpy as jnp
 
+
 # this image's sitecustomize pins JAX_PLATFORMS=axon at interpreter start;
 # env vars are too late — override through jax.config before any backend
 # initializes (same pattern as tests/conftest.py)
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from s2v_tpu.utils.jitcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 V5E_BF16_PEAK_TFLOPS = 197.0
 # round-3 devtime measurements (BENCH_LOCAL.json, v5e, product chunk 1)

@@ -31,6 +31,9 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     import bench  # noqa: E402  (repo-root bench.py)
+    from s2v_tpu.utils.jitcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     out: dict = {"logdir": logdir, "device": str(jax.devices()[0])}
     try:

@@ -27,7 +27,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+
+from s2v_tpu.utils.jitcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 
 def _sync(v):
