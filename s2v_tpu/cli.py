@@ -118,10 +118,12 @@ def load_models(checkpoint_dir: str, cfg=None, mesh=None):
             parse_size=ps, mesh=mesh,
         )
         # Step-5 reference enhancement, batched over the whole clip
-        # (inference.py:225-227,234-238: in_size 512, face_enhance=False)
-        models.ref_enhancer = lambda frames: enhancer.process_batch(
+        # (inference.py:225-227,234-238: in_size 512, face_enhance=False).
+        # landmarks5/det_boxes thread through for the detector-reuse path
+        # (config model.reuse_detections).
+        models.ref_enhancer = lambda frames, **kw: enhancer.process_batch(
             frames, face_enhance=False,
-            device_out=not isinstance(frames, np.ndarray))
+            device_out=not isinstance(frames, np.ndarray), **kw)
 
     # final full-frame enhancement: GPEN-BFR-2048 + RealESRNet x2, output at
     # 2x the input resolution (inference.py:228-231,246,317-330)
@@ -151,12 +153,13 @@ def load_models(checkpoint_dir: str, cfg=None, mesh=None):
             parse_size=cfg.model.parse_size if cfg is not None else 512,
             mesh=mesh)
 
-        def final_hook(frames, boxes_xyxy):
+        def final_hook(frames, boxes_xyxy, **kw):
             # bbox only matters on the non-SR possion fallback
             # (face_enhancement.py:179-189); layout there is (y1,y2,x1,x2)
             bb = np.asarray(boxes_xyxy)[:, [1, 3, 0, 2]]
             return final.process_batch(
-                frames, face_enhance=True, possion_blending=True, bboxes=bb)
+                frames, face_enhance=True, possion_blending=True, bboxes=bb,
+                **kw)
 
         models.final_enhancer = final_hook
     from s2v_tpu.pipeline.restoration import make_mouth_restorer

@@ -202,3 +202,23 @@ def heatmaps_to_landmarks(hm: jnp.ndarray, centers: jnp.ndarray,
     x_img = px * (h / hh)[:, None] + centers[:, 0:1] - (h / 2.0)[:, None]
     y_img = py * (h / hh)[:, None] + centers[:, 1:2] - (h / 2.0)[:, None]
     return jnp.stack([x_img, y_img], axis=-1)
+
+
+def lm68_to_lm5(lm68):
+    """68-point FAN landmarks -> the 5-point RetinaFace/arcface template
+    order (left eye, right eye, nose tip, left mouth corner, right mouth
+    corner). Works on numpy or jax arrays, [..., 68, 2] -> [..., 5, 2].
+
+    The eye points are the centroid of the 6-point eye contour (the
+    convention facexlib/insightface use when deriving 5-point alignment
+    from a 68-point detector); nose tip = point 30, mouth corners = 48/54.
+    Feeds umeyama alignment in the enhancement/restoration programs when
+    config ``model.reuse_detections`` skips their RetinaFace passes.
+    """
+    xp = jnp if isinstance(lm68, jnp.ndarray) else np
+    left_eye = xp.mean(lm68[..., 36:42, :], axis=-2)
+    right_eye = xp.mean(lm68[..., 42:48, :], axis=-2)
+    nose = lm68[..., 30, :]
+    mouth_l = lm68[..., 48, :]
+    mouth_r = lm68[..., 54, :]
+    return xp.stack([left_eye, right_eye, nose, mouth_l, mouth_r], axis=-2)

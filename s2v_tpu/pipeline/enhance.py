@@ -472,8 +472,49 @@ class FaceEnhancer:
             return composite_default(
                 ori_u8, tmp_img, full_mask, mask_sharp_w, valid)
 
+        @functools.partial(jax.jit, static_argnums=(0, 1))
+        def enhance_full_lm(do_enhance, mode, vars_gan, vars_parse,
+                            fc_u8, ori_u8, mb, lms5, small):
+            """``enhance_full`` with the detection geometry supplied by the
+            caller (config model.reuse_detections): the pipeline's own
+            S3FD+FAN landmark sweeps already located the face, so the
+            RetinaFace pass is dropped from the program entirely. All
+            frames are treated as valid — the supplying sweep raises on
+            undetected faces (pipeline/inference.py detect contract)."""
+            tfms, _ = umeyama_similarity_batched(lms5, ref5)
+            ef, tmp_mask, ms512 = faces_and_masks(
+                vars_gan, vars_parse, fc_u8, tfms, small, do_enhance)
+            hw = fc_u8.shape[1:3]
+            ms = resize_bilinear(ms512, (s, s))
+            packed = warp(
+                jnp.concatenate(
+                    [ef.astype(jnp.float32), tmp_mask, ms], axis=-1),
+                tfms, hw, inverse=True)
+            tmp_img = packed[..., :3]
+            full_mask = packed[..., 3:4]
+            mask_sharp_w = gaussian_blur(packed[..., 4:5], 9, 1.0)
+            valid = jnp.ones((fc_u8.shape[0],), bool)
+            if mode == "sr":
+                return composite_sr(ori_u8, tmp_img, full_mask, valid)
+            if mode == "possion":
+                return composite_laplacian(
+                    ori_u8, tmp_img, mask_sharp_w * mb, valid)
+            if mode == "possion_nobbox":
+                return composite_laplacian(ori_u8, tmp_img, full_mask, valid)
+            return composite_default(
+                ori_u8, tmp_img, full_mask, mask_sharp_w, valid)
+
+        @jax.jit
+        def lm_tfms(lms5, small):
+            """Supplied-landmark twin of ``detect_tfms`` for the split
+            (>=1024) path: same (tfms, small, valid) triple, no detector."""
+            tfms, _ = umeyama_similarity_batched(lms5, ref5)
+            return tfms, small, jnp.ones((lms5.shape[0],), bool)
+
         self._detect = detect
         self._detect_tfms = detect_tfms
+        self._lm_tfms = lm_tfms
+        self._enhance_full_lm = enhance_full_lm
         self._paste_fwd = paste_fwd
         # ONE fused program per chunk compiles fine up to 512^2 crops but
         # the 2048 configuration consistently aborts the remote compile
@@ -513,15 +554,21 @@ class FaceEnhancer:
             small[i] = min(fh, fw) < 100  # face_enhancement.py:153
         return tfms, tfm_invs, small
 
-    def _enhance_split(self, do_enhance: bool, mode: str, fc_u8, ori_u8, mb):
+    def _enhance_split(self, do_enhance: bool, mode: str, fc_u8, ori_u8, mb,
+                       geo=None):
         """The enhance_full chain as four chained device programs
         (detect+umeyama -> faces_and_masks -> paste -> composite) for crop
         sizes whose single fused program aborts the compile helper (see
         ``_fuse_full``). Inputs/outputs and semantics are identical to
         ``_enhance_full``; intermediates never leave the device, so the
-        only extra cost is three async dispatches per chunk."""
-        tfms, small, valid = self._detect_tfms(
-            self.models["retinaface"], fc_u8)
+        only extra cost is three async dispatches per chunk. ``geo`` is an
+        optional caller-supplied (lms5, small) pair replacing the RetinaFace
+        head (config model.reuse_detections)."""
+        if geo is not None:
+            tfms, small, valid = self._lm_tfms(*geo)
+        else:
+            tfms, small, valid = self._detect_tfms(
+                self.models["retinaface"], fc_u8)
         ef, tmp_mask, ms512 = self._faces_and_masks(
             self.models["facegan"], self.models["parsenet"], fc_u8, tfms,
             small, bool(do_enhance))
@@ -543,13 +590,25 @@ class FaceEnhancer:
                       face_enhance: bool = True,
                       possion_blending: bool = False,
                       bboxes: Optional[np.ndarray] = None,
-                      device_out: bool = False):
+                      device_out: bool = False,
+                      landmarks5=None,
+                      det_boxes=None):
         """Batched FaceEnhancement.process over a stack of frames.
 
         frames_rgb: [N, H, W, 3] uint8/float. ori_frames: the paste base
         (defaults to frames; the reference passes the 2x original frame in
         Step 6, inference.py:317-319). bboxes: [N, 4] (y1, y2, x1, x2)
         restricting the possion-blend mask (face_enhancement.py:181-184).
+
+        ``landmarks5`` ([N, 5, 2] in frames_rgb pixel coords, RetinaFace
+        point order — models/fan.py lm68_to_lm5 produces it from the
+        pipeline's FAN sweeps) replaces the RetinaFace pass entirely
+        (config model.reuse_detections); ``det_boxes`` [N, 4] (x1,y1,x2,y2)
+        optionally supplies the small-face flag's box (all-large assumed
+        when absent). Under ``use_sr`` the landmarks are given in the
+        PRE-SR frame coordinates and scaled by ``sr_scale`` here (detection
+        runs on the upscaled frame in the reference,
+        face_enhancement.py:103-106).
 
         Returns [N, H', W', 3] uint8 — H' = sr_scale*H when ``use_sr``.
 
@@ -596,6 +655,21 @@ class FaceEnhancer:
             ori = np.ascontiguousarray(
                 np.clip(ori_frames, 0, 255).astype(np.uint8))
 
+        lm_geo = None
+        if landmarks5 is not None and "_transforms" not in self.__dict__:
+            lms = np.asarray(landmarks5, np.float32)
+            if self.use_sr:
+                lms = lms * float(self.sr_scale)
+            if det_boxes is not None:
+                bb5 = np.asarray(det_boxes, np.float32)
+                if self.use_sr:
+                    bb5 = bb5 * float(self.sr_scale)
+                small_np = np.minimum(bb5[:, 2] - bb5[:, 0],
+                                      bb5[:, 3] - bb5[:, 1]) < 100
+            else:
+                small_np = np.zeros((n,), bool)
+            lm_geo = (lms, small_np)
+
         if "_transforms" not in self.__dict__:
             # fused path: detect + device umeyama + enhance + composite as
             # one program per chunk, all chunks dispatched asynchronously
@@ -628,7 +702,25 @@ class FaceEnhancer:
                         mb[j, y1 : max(y2 - 5, y1), x1:x2] = 1.0
                 else:
                     mb = np.ones((1, 1, 1, 1), np.float32)
-                if self._fuse_full:
+                if lm_geo is not None:
+                    def ixh(a):
+                        c = a[sl]
+                        return (np.concatenate(
+                            [c, np.repeat(c[-1:], pad, 0)]) if pad else c)
+                    geo = (self._place(jnp.asarray(ixh(lm_geo[0]))),
+                           self._place(jnp.asarray(ixh(lm_geo[1]))))
+                    if self._fuse_full:
+                        pending.append((sl, self._enhance_full_lm(
+                            bool(face_enhance), mode,
+                            self.models["facegan"], self.models["parsenet"],
+                            self._place(cx(i)), self._place(cori(i)),
+                            jnp.asarray(mb), *geo)))
+                    else:
+                        pending.append((sl, self._enhance_split(
+                            bool(face_enhance), mode, self._place(cx(i)),
+                            self._place(cori(i)), jnp.asarray(mb),
+                            geo=geo)))
+                elif self._fuse_full:
                     pending.append((sl, self._enhance_full(
                         bool(face_enhance), mode, self.models["retinaface"],
                         self.models["facegan"], self.models["parsenet"],

@@ -560,7 +560,8 @@ class LipSyncPipeline:
 
     def build_reference_faces(self, stabilized: np.ndarray,
                               full_frames, coordinates,
-                              boxes: np.ndarray) -> jnp.ndarray:
+                              boxes: np.ndarray,
+                              lms: Optional[np.ndarray] = None) -> jnp.ndarray:
         """datagen's reference construction (inference.py:341-367):
         re-align each stabilized 256^2 face, paste into the full frame via
         the inverse perspective transform, then cut the detector box.
@@ -581,7 +582,8 @@ class LipSyncPipeline:
 
         n = len(stabilized)
         oy1, oy2, ox1, ox2 = [int(v) for v in coordinates]
-        lms = self.extract_landmarks(stabilized)
+        if lms is None:
+            lms = self.extract_landmarks(stabilized)
         image_size = 256
         img_size = self.cfg.model.img_size
         square = [[0, 0], [0, image_size], [image_size, image_size],
@@ -646,8 +648,16 @@ class LipSyncPipeline:
         fps: float,
         static: bool = False,
         boxes_full: Optional[np.ndarray] = None,  # Step-1 S3FD boxes (reuse)
+        lms_full: Optional[np.ndarray] = None,    # Step-1 FAN landmarks
+        lms_stab: Optional[np.ndarray] = None,    # landmarks of `stabilized`
     ) -> np.ndarray:
-        """Step 6 (inference.py:259-330, restoration hooks optional)."""
+        """Step 6 (inference.py:259-330, restoration hooks optional).
+
+        Under config ``model.reuse_detections`` the caller threads the
+        Step-1 landmark sweep results through: ``lms_full`` replaces the
+        RetinaFace passes inside the mouth-restorer / final-enhancer hooks
+        (models/fan.py lm68_to_lm5) and ``lms_stab`` replaces
+        build_reference_faces' own sweep."""
         self._require("enet")
         cfg = self.cfg
         img_size = cfg.model.img_size
@@ -685,8 +695,17 @@ class LipSyncPipeline:
         # program indexes the device-resident copy
         full_dev = self._dev(full_frames_t)
         refs = self.build_reference_faces(
-            stabilized, full_dev, coordinates, boxes
+            stabilized, full_dev, coordinates, boxes, lms=lms_stab
         )  # device-resident [N, img, img, 3] f32
+
+        # 5-point landmarks for the restoration hooks' detector-reuse path
+        reuse = (getattr(self.cfg.model, "reuse_detections", False)
+                 and lms_full is not None)
+        if reuse:
+            from s2v_tpu.models.fan import lm68_to_lm5
+
+            lm5_full = np.asarray(lm68_to_lm5(
+                np.asarray(lms_full)[:n_frames]), np.float32)
 
         # frame index for each mel chunk: ping-pong past the end
         # (inference.py:369-377 mirrors once; generalized to a periodic
@@ -794,9 +813,18 @@ class LipSyncPipeline:
             # full-frame enhancement (inference.py:317-330) — both hooks
             # take the whole [B] chunk; no per-frame device calls remain.
             if self.models.mouth_restorer is not None:
-                pasted = self.models.mouth_restorer(pasted, bsel)
+                if reuse:
+                    pasted = self.models.mouth_restorer(
+                        pasted, bsel, landmarks5=lm5_full[np.asarray(idxs)])
+                else:
+                    pasted = self.models.mouth_restorer(pasted, bsel)
             if self.models.final_enhancer is not None:
-                final = self.models.final_enhancer(pasted, bsel)
+                if reuse:
+                    final = self.models.final_enhancer(
+                        pasted, bsel, landmarks5=lm5_full[np.asarray(idxs)],
+                        det_boxes=bsel)
+                else:
+                    final = self.models.final_enhancer(pasted, bsel)
                 if cfg.infer.cropped_image:
                     # --cropped_image (inference.py:316-325): downscale the
                     # enhanced frame back to 1x and paste only the face box
@@ -914,18 +942,33 @@ class LipSyncPipeline:
         stab_dev = dev.get("stab")
         if stab_dev is None:
             stab_dev = self._dev(stabilized)
+        reuse = getattr(self.cfg.model, "reuse_detections", False)
+        lm_stab_holder: Dict[str, np.ndarray] = {}
         if self.models.ref_enhancer is not None:
             # Step 5 (inference.py:234-238), batched over the whole clip;
             # the hook may return a device array (cli wires device_out)
             def compute_enh():
-                e = self.models.ref_enhancer(stab_dev)
+                kw = {}
+                if reuse:
+                    # one FAN sweep serves the Step-5 enhancer (whose own
+                    # RetinaFace pass is then dropped) AND the reference-
+                    # face sweep in Step 6 (config model.reuse_detections)
+                    from s2v_tpu.models.fan import lm68_to_lm5
+
+                    lm_s, bx_s = self.extract_landmarks(
+                        stab_dev, return_boxes=True)
+                    lm_stab_holder["lm"] = lm_s
+                    kw = {"landmarks5": np.asarray(
+                        lm68_to_lm5(lm_s), np.float32),
+                        "det_boxes": bx_s}
+                e = self.models.ref_enhancer(stab_dev, **kw)
                 if isinstance(e, jnp.ndarray):
                     dev["enh"] = e
                 return np.asarray(e)
 
             stabilized = cache.get_or_compute(
                 base, "enhanced5", compute_enh,
-                params=crop_p, refresh=refresh,
+                params={**crop_p, "reuse_det": reuse}, refresh=refresh,
             )
             stab_dev = dev.get("enh")
             if stab_dev is None:
@@ -940,7 +983,9 @@ class LipSyncPipeline:
             )
 
         out = self.synthesize(stab_dev, mel, frames_dev, coordinates, fps,
-                              static=cfg.infer.static, boxes_full=boxes_full)
+                              static=cfg.infer.static, boxes_full=boxes_full,
+                              lms_full=lm if reuse else None,
+                              lms_stab=lm_stab_holder.get("lm"))
 
         tmp_video = os.path.join(cfg.infer.tmp_dir, "result.npz")
         os.makedirs(cfg.infer.tmp_dir, exist_ok=True)

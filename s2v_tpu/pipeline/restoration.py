@@ -172,9 +172,37 @@ class GFPGANRestorer:
             out = jnp.where(valid[:, None, None, None], out, frames)
             return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
+        @jax.jit
+        def restore_full_lm(vars_gfpgan, frames_u8, lms5):
+            """``restore_full`` with caller-supplied 5-point landmarks
+            (config model.reuse_detections): the pipeline's FAN sweep
+            already located the face, so the RetinaFace pass is dropped
+            from the program. All frames are treated as valid — the
+            supplying sweep raises on undetected faces."""
+            frames = frames_u8.astype(jnp.float32)
+            tfms, _ = umeyama_similarity_batched(lms5, template_d)
+            face = warp(frames, tfms, (s, s))
+            x = ((face / 255.0 - 0.5) / 0.5).astype(dt)
+            out = gfpgan.apply(vars_gfpgan, x, deterministic=True)
+            if isinstance(out, tuple):
+                out = out[0]
+            restored = jnp.clip(
+                (out.astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0) * 255.0
+            hw = frames.shape[1:3]
+            packed = warp(
+                jnp.concatenate(
+                    [restored,
+                     jnp.ones((frames.shape[0], s, s, 1), jnp.float32)],
+                    axis=-1),
+                tfms, hw, inverse=True)
+            pasted, mask = packed[..., :3], packed[..., 3:4]
+            out = pasted * mask + frames * (1.0 - mask)
+            return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+
         self._detect = detect
         self._restore_paste = restore_paste
         self._restore_full = restore_full
+        self._restore_full_lm = restore_full_lm
 
     def _transforms(self, landms: np.ndarray, valid: np.ndarray):
         n = len(landms)
@@ -258,7 +286,8 @@ def make_mouth_restorer(models: Dict, chunk: int = 16,
                         parse_size: int = 512,
                         parse_dtype: str = "float32",
                         mesh=None, size: int = 512,
-                        gfpgan_kwargs: Optional[Dict] = None
+                        gfpgan_kwargs: Optional[Dict] = None,
+                        threshold: float = 0.9,
                         ) -> Optional[Callable]:
     """The reference's Step-6 per-frame tail (inference.py:299-312), batched.
 
@@ -276,7 +305,8 @@ def make_mouth_restorer(models: Dict, chunk: int = 16,
     restorer = GFPGANRestorer(models, arch=models.get("gfpgan_arch", "clean"),
                               chunk=chunk, approx_warp=approx_warp,
                               det_dtype=det_dtype, mesh=mesh, size=size,
-                              gfpgan_kwargs=gfpgan_kwargs)
+                              gfpgan_kwargs=gfpgan_kwargs,
+                              threshold=threshold)
     # geometry from the converted checkpoint (production widths) or a slim
     # test tree — same contract as LipSyncPipeline._enet_arch
     parser = parsenet_arch(models["parsenet"])
@@ -325,11 +355,20 @@ def make_mouth_restorer(models: Dict, chunk: int = 16,
                                           frames_u8)
         return mouth_blend(vars_parse, restored, frames_u8, boxes)
 
-    def hook(frames, boxes: np.ndarray) -> np.ndarray:
+    @jax.jit
+    def mouth_full_lm(vars_gfpgan, vars_parse, frames_u8, boxes, lms5):
+        """``mouth_full`` with the pipeline's own FAN landmarks standing in
+        for the RetinaFace pass (config model.reuse_detections)."""
+        restored = restorer._restore_full_lm(vars_gfpgan, frames_u8, lms5)
+        return mouth_blend(vars_parse, restored, frames_u8, boxes)
+
+    def hook(frames, boxes: np.ndarray, landmarks5=None) -> np.ndarray:
         """frames [B,H,W,3] uint8/float 0..255 (host or device-resident);
         boxes [B,4] (x1,y1,x2,y2). The whole tail — GFPGAN restore, ParseNet
         mouth mask, Laplacian blend — chains on device; the blended frames
-        cross the link once, as uint8."""
+        cross the link once, as uint8. ``landmarks5`` [B,5,2] (frame pixel
+        coords, RetinaFace point order) skips the tail's own RetinaFace
+        pass (config model.reuse_detections)."""
         if isinstance(frames, np.ndarray):
             frames_u8 = jnp.asarray(np.ascontiguousarray(
                 np.clip(frames, 0, 255).astype(np.uint8)))
@@ -339,6 +378,10 @@ def make_mouth_restorer(models: Dict, chunk: int = 16,
         k = min(chunk, n)
         boxes_d = jnp.asarray(np.asarray(boxes, np.float32))
         fused = "_transforms" not in restorer.__dict__
+        if not fused:
+            landmarks5 = None  # harness solver path keeps its own detect
+        lms_d = (None if landmarks5 is None
+                 else jnp.asarray(np.asarray(landmarks5, np.float32)))
         restored = (None if fused else
                     restorer.enhance_batch(frames_u8, device_out=True))
         pending = []
@@ -348,7 +391,13 @@ def make_mouth_restorer(models: Dict, chunk: int = 16,
             ix = lambda a: jnp.concatenate(
                 [a[sl], jnp.repeat(a[sl.stop - 1 : sl.stop], pad, 0)]
             ) if pad else a[sl]
-            if fused:
+            if fused and lms_d is not None:
+                res = mouth_full_lm(
+                    models["gfpgan"], models["parsenet"],
+                    restorer._place(ix(frames_u8)),
+                    restorer._place(ix(boxes_d)),
+                    restorer._place(ix(lms_d)))
+            elif fused:
                 res = mouth_full(
                     models["retinaface"], models["gfpgan"],
                     models["parsenet"], restorer._place(ix(frames_u8)),
@@ -366,6 +415,7 @@ def make_mouth_restorer(models: Dict, chunk: int = 16,
     # exposed for device-time accounting (bench.py devtime): the fused
     # one-dispatch program behind the hook
     hook.mouth_full = mouth_full
+    hook.mouth_full_lm = mouth_full_lm
     hook.restorer = restorer
     return hook
 

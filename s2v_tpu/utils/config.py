@@ -79,6 +79,17 @@ class ModelConfig:
     # exact path on smooth content (ops/warp.py affine_warp_shear); the
     # exact path remains the default and the parity surface.
     approx_warp: bool = False
+    # Opt-in detection reuse: the pipeline already runs S3FD+FAN 68-point
+    # landmark sweeps over every frame (Step 1 and the Step-5 chain);
+    # mapping those to the 5-point template (models/fan.py lm68_to_lm5)
+    # lets the GPEN Step-5 enhancer, the GFPGAN mouth tail and the
+    # reference-face sweep skip their own RetinaFace/FAN passes. The
+    # reference re-detects at each of those points (face_enhancement.py:91,
+    # gfpgan/utils.py:97, inference.py:348), so False is the parity
+    # surface; True trades sub-pixel alignment drift (the reused landmarks
+    # predate the mouth edit / the Step-5 composite) for dropping three
+    # detector passes per frame from the hot path.
+    reuse_detections: bool = False
 
 
 @dataclass(frozen=True)

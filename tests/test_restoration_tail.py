@@ -178,3 +178,71 @@ def test_mouth_restorer_batched(enhancer_models):
     out = hook(frames.astype(np.float32), boxes)
     assert out.shape == (3, 96, 96, 3)
     assert np.isfinite(out).all()
+
+
+def test_lm68_to_lm5_mapping():
+    """68->5 template mapping: eye centroids, nose tip 30, mouth 48/54."""
+    from s2v_tpu.models.fan import lm68_to_lm5
+
+    lm = RNG.rand(2, 68, 2).astype(np.float32) * 100
+    got = lm68_to_lm5(lm)
+    assert got.shape == (2, 5, 2)
+    np.testing.assert_allclose(got[:, 0], lm[:, 36:42].mean(1), rtol=1e-6)
+    np.testing.assert_allclose(got[:, 1], lm[:, 42:48].mean(1), rtol=1e-6)
+    np.testing.assert_allclose(got[:, 2], lm[:, 30], rtol=1e-6)
+    np.testing.assert_allclose(got[:, 3], lm[:, 48], rtol=1e-6)
+    np.testing.assert_allclose(got[:, 4], lm[:, 54], rtol=1e-6)
+    # jax input -> jax output, same values
+    got_j = np.asarray(lm68_to_lm5(jnp.asarray(lm)))
+    np.testing.assert_allclose(got_j, got, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_reuse_detections_matches_detect_path(enhancer_models):
+    """config model.reuse_detections: feeding the enhancer the very
+    landmarks its own RetinaFace pass would produce must reproduce the
+    detect-path composite (different XLA programs -> allow uint8 rounding
+    drift). Covers the fused (<=512) path, the split path, and the GFPGAN
+    mouth tail."""
+    from s2v_tpu.pipeline.restoration import make_mouth_restorer
+
+    enh = FaceEnhancer(enhancer_models, in_size=64, threshold=-1.0, chunk=2)
+    frames = (RNG.rand(3, 96, 96, 3) * 255).astype(np.uint8)
+    boxes, landms, valid = (np.asarray(t) for t in enh._detect(
+        enhancer_models["retinaface"], jnp.asarray(frames[:2])))
+    boxes2, landms2, _ = (np.asarray(t) for t in enh._detect(
+        enhancer_models["retinaface"], jnp.asarray(frames[2:])))
+    landms_all = np.concatenate([landms, landms2])[:, :5]
+    boxes_all = np.concatenate([boxes, boxes2])
+    assert valid.all()
+
+    base = enh.process_batch(frames, face_enhance=True)
+    lm_out = enh.process_batch(frames, face_enhance=True,
+                               landmarks5=landms_all, det_boxes=boxes_all)
+    assert_uint8_close(base, lm_out, frac_within_1=0.995)
+
+    # split (>=1024-style) path with supplied geometry
+    enh._fuse_full = False
+    lm_split = enh.process_batch(frames, face_enhance=True,
+                                 landmarks5=landms_all, det_boxes=boxes_all)
+    enh._fuse_full = True
+    assert_uint8_close(base, lm_split, frac_within_1=0.995)
+
+    # GFPGAN mouth tail: same contract through the hook's landmarks5 kwarg
+    from slim_zoo import slim_gfpgan_vars
+
+    mouth = make_mouth_restorer(
+        {"retinaface": enhancer_models["retinaface"],
+         "gfpgan": slim_gfpgan_vars(jax.random.PRNGKey(5), size=64),
+         "parsenet": enhancer_models["parsenet"]}, chunk=2, size=64,
+        threshold=-1.0)
+    mb = np.asarray([[10, 10, 80, 80]] * 3, np.float32)
+    rest = mouth.restorer
+    b1, l1, v1 = (np.asarray(t) for t in rest._detect(
+        enhancer_models["retinaface"], jnp.asarray(frames[:2])))
+    b2, l2, _ = (np.asarray(t) for t in rest._detect(
+        enhancer_models["retinaface"], jnp.asarray(frames[2:])))
+    lms_m = np.concatenate([l1, l2])[:, :5]
+    base_m = mouth(frames, mb)
+    lm_m = mouth(frames, mb, landmarks5=lms_m)
+    assert_uint8_close(base_m, lm_m, frac_within_1=0.995)
