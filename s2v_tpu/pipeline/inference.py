@@ -928,16 +928,19 @@ class LipSyncPipeline:
         )
 
         def compute_stab():
+            # deferred cache write: the host copy starts asynchronously and
+            # lands at cache.flush() after Step 6 — the d2h overlaps with
+            # the downstream programs instead of stalling the chain here
             dev["stab"] = self.stabilize(f256_dev, semantic,
                                          one_shot=cfg.infer.one_shot,
                                          device_out=True)
-            return np.asarray(dev["stab"])
+            return dev["stab"]
 
         stabilized = cache.get_or_compute(
             base, "stabilized", compute_stab,
             params={**crop_p, "one_shot": cfg.infer.one_shot,
                     "exp_img": cfg.infer.exp_img},
-            refresh=refresh,
+            refresh=refresh, defer=True,
         )
         stab_dev = dev.get("stab")
         if stab_dev is None:
@@ -964,11 +967,13 @@ class LipSyncPipeline:
                 e = self.models.ref_enhancer(stab_dev, **kw)
                 if isinstance(e, jnp.ndarray):
                     dev["enh"] = e
+                    return e  # deferred cache write (see compute_stab)
                 return np.asarray(e)
 
             stabilized = cache.get_or_compute(
                 base, "enhanced5", compute_enh,
                 params={**crop_p, "reuse_det": reuse}, refresh=refresh,
+                defer=True,
             )
             stab_dev = dev.get("enh")
             if stab_dev is None:
@@ -982,10 +987,17 @@ class LipSyncPipeline:
                 "noise to the wav file and try again"
             )
 
-        out = self.synthesize(stab_dev, mel, frames_dev, coordinates, fps,
-                              static=cfg.infer.static, boxes_full=boxes_full,
-                              lms_full=lm if reuse else None,
-                              lms_stab=lm_stab_holder.get("lm"))
+        try:
+            out = self.synthesize(stab_dev, mel, frames_dev, coordinates,
+                                  fps, static=cfg.infer.static,
+                                  boxes_full=boxes_full,
+                                  lms_full=lm if reuse else None,
+                                  lms_stab=lm_stab_holder.get("lm"))
+        finally:
+            # materialize the deferred Step-3/5 cache writes (their async
+            # d2h copies overlapped with Step 6; a Step-6 crash must not
+            # lose the finished upstream artifacts either)
+            cache.flush()
 
         tmp_video = os.path.join(cfg.infer.tmp_dir, "result.npz")
         os.makedirs(cfg.infer.tmp_dir, exist_ok=True)

@@ -166,6 +166,27 @@ def test_artifact_cache(tmp_path):
     np.testing.assert_array_equal(d["x"], d2["x"])
 
 
+def test_artifact_cache_deferred_write(tmp_path):
+    """defer=True returns fn's value unchanged (device arrays included),
+    postpones the .npz write to flush(), and the flushed artifact serves
+    later cache hits (pipeline/inference.py run() Step-3/5 writes)."""
+    cache = ArtifactCache(str(tmp_path))
+    dev_val = jnp.arange(6, dtype=jnp.float32)
+
+    got = cache.get_or_compute("vid.mp4", "stab", lambda: dev_val,
+                               defer=True)
+    assert got is dev_val  # device array passes through on a miss
+    assert not list(tmp_path.glob("*stab*.npz"))  # nothing written yet
+    cache.flush()
+    assert list(tmp_path.glob("*stab*.npz"))
+    hit = cache.get_or_compute(
+        "vid.mp4", "stab", lambda: (_ for _ in ()).throw(AssertionError))
+    assert isinstance(hit, np.ndarray)
+    np.testing.assert_array_equal(hit, np.arange(6, dtype=np.float32))
+    # flush with nothing pending is a no-op
+    cache.flush()
+
+
 def test_diagnostics(tmp_path, capsys):
     m = AverageMeter()
     m.update(2.0)
