@@ -27,6 +27,7 @@ an order of magnitude in the reference too and would otherwise dominate the
 compile budget of the driver's bench window.
 """
 
+import contextlib
 import json
 import os
 import subprocess
@@ -487,7 +488,8 @@ def bench_link():
     }
 
 
-def bench_devtime(with_final: bool = False, n_iter: int = 12):
+def bench_devtime(with_final: bool = False, n_iter: int = 12,
+                  stage_filter=None, trace_logdir: str = None):
     """Pure device execution time per stage program, measured by chaining
     iterations through a data dependency (carry perturbs the input, the
     output feeds the carry) so the device must run them back-to-back; one
@@ -497,6 +499,13 @@ def bench_devtime(with_final: bool = False, n_iter: int = 12):
     Reports: per-stage device ms/frame, their sum (the device-bound e2e
     fps), the ENet program's FLOPs from XLA cost analysis -> MFU, the
     analytic transfer ledger, and the measured link profile.
+
+    ``stage_filter`` (iterable of stage names) restricts the run to those
+    programs — used by tools/profile_capture.py, which also passes
+    ``trace_logdir`` to wrap each stage's timed loop in
+    ``jax.profiler.trace(<logdir>/<stage>)`` for an on-chip per-op
+    breakdown (mine with tools/xplane_summary.py). A filtered run's
+    total/fps is NOT a six-stage number and is not recorded.
     """
     hw, B = 384, 16
     pipe = build_e2e_pipeline(16, hw, with_final)
@@ -698,6 +707,8 @@ def bench_devtime(with_final: bool = False, n_iter: int = 12):
     flops = {}
     failed = {}
     for name, spec in stage_fns.items():
+        if stage_filter is not None and name not in stage_filter:
+            continue
         fn, args, per_frame_scale = spec[0], spec[1], spec[2]
         host_stage = len(spec) > 3 and spec[3] == "host"
         carry = jnp.zeros((), jnp.float32)
@@ -732,11 +743,16 @@ def bench_devtime(with_final: bool = False, n_iter: int = 12):
         compile_s = time.time() - t0
         carry = g(carry, *args)
         _sync(carry)  # first-run warmup
-        t0 = time.time()
-        for _ in range(n_iter):
-            carry = g(carry, *args)
-        _sync(carry)
-        dt = (time.time() - t0) / n_iter
+        if trace_logdir:
+            trace_cm = jax.profiler.trace(os.path.join(trace_logdir, name))
+        else:
+            trace_cm = contextlib.nullcontext()
+        with trace_cm:
+            t0 = time.time()
+            for _ in range(n_iter):
+                carry = g(carry, *args)
+            _sync(carry)
+            dt = (time.time() - t0) / n_iter
         results[name] = {
             "ms_per_batch": round(dt * 1000, 2),
             "ms_per_frame": round(dt * 1000 / (B * per_frame_scale), 3),

@@ -10,7 +10,11 @@ back to the host, so the summary distinguishes three outcomes:
   * ``xplane`` present, host planes only  -> dispatch-side profile only
   * trace call raised                      -> failure mode recorded verbatim
 
-Usage: python tools/profile_capture.py [logdir]
+Usage: python tools/profile_capture.py [logdir] [workload]
+``workload`` is "generator" (default) or a comma-separated list of
+bench.py devtime stage names (e.g. "mouth_tail,gpen512_step5") — each
+stage's timed loop is traced into <logdir>/<stage>; mine the per-op
+on-chip breakdown with ``python tools/xplane_summary.py <logdir>/<stage>``.
 Prints one JSON line; the artifact dir is left for manual TensorBoard use.
 """
 
@@ -35,15 +39,24 @@ def main() -> None:
 
     enable_persistent_cache()
 
-    out: dict = {"logdir": logdir, "device": str(jax.devices()[0])}
+    workload = sys.argv[2] if len(sys.argv) > 2 else "generator"
+    out: dict = {"logdir": logdir, "workload_name": workload,
+                 "device": str(jax.devices()[0])}
     try:
-        with jax.profiler.trace(logdir):
-            gen = bench.bench_generator(batch=16)
-        out["workload"] = {
-            "metric": gen["metric"],
-            "fps": gen["value"],
-            "ms_per_batch": gen["detail"]["ms_per_batch"],
-        }
+        if workload == "generator":
+            with jax.profiler.trace(logdir):
+                gen = bench.bench_generator(batch=16)
+            out["workload"] = {
+                "metric": gen["metric"],
+                "fps": gen["value"],
+                "ms_per_batch": gen["detail"]["ms_per_batch"],
+            }
+        else:
+            stages = [s.strip() for s in workload.split(",") if s.strip()]
+            res = bench.bench_devtime(
+                with_final=any("final" in s for s in stages),
+                stage_filter=set(stages), trace_logdir=logdir)
+            out["workload"] = {"stages": res["detail"]["stages"]}
         out["trace_ok"] = True
     except Exception as e:  # noqa: BLE001 - the failure mode IS the result
         out["trace_ok"] = False
