@@ -171,22 +171,42 @@ def _gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-def gaussian_blur(x: jnp.ndarray, ksize: int, sigma: float) -> jnp.ndarray:
-    """cv2.GaussianBlur(ksize, sigma) with REFLECT_101 border, NHWC."""
-    c = x.shape[-1]
+@functools.lru_cache(maxsize=None)
+def _blur_matrix(size: int, ksize: int, sigma: float) -> np.ndarray:
+    """[size, size] banded Toeplitz matrix equal to the 1D Gaussian conv
+    with REFLECT_101 border: (M @ v)[i] == GaussianBlur1d(v)[i]."""
     k = _gaussian_kernel1d(ksize, sigma)
     pad = ksize // 2
-    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
-    kv = jnp.asarray(k, x.dtype)[:, None, None, None]
-    kh = jnp.asarray(k, x.dtype)[None, :, None, None]
-    x = jax.lax.conv_general_dilated(
-        x, jnp.tile(kv, (1, 1, 1, c)), (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-    )
-    return jax.lax.conv_general_dilated(
-        x, jnp.tile(kh, (1, 1, 1, c)), (1, 1), [(0, 0), (0, 0)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-    )
+    m = np.zeros((size, size), np.float32)
+    for t, kt in enumerate(k):
+        for i in range(size):
+            j = i + t - pad
+            # reflect_101 fold of the out-of-range source index
+            while j < 0 or j >= size:
+                j = -j if j < 0 else 2 * (size - 1) - j
+            m[i, j] += kt
+    return m
+
+
+def gaussian_blur(x: jnp.ndarray, ksize: int, sigma: float) -> jnp.ndarray:
+    """cv2.GaussianBlur(ksize, sigma) with REFLECT_101 border, NHWC.
+
+    TPU-first: the separable 1D passes run as banded-matrix matmuls on
+    the MXU instead of depthwise convs — a [101,1] single-channel
+    depthwise conv lowers to the VPU at ~0.1 TFLOP/s and dominated the
+    enhancement stages (on-chip trace, tools/out/r5_xplane_*.json: 4x
+    ~7.5 ms/batch in gpen512_step5 alone); the H^2*W matmul form costs
+    more FLOPs but runs at MXU rate, >100x faster at 512^2.
+    """
+    b, h, w, c = x.shape
+    mv = jnp.asarray(_blur_matrix(h, ksize, sigma), x.dtype)
+    mh = jnp.asarray(_blur_matrix(w, ksize, sigma), x.dtype)
+    # vertical pass over H, then horizontal over W (matches cv2's
+    # separable evaluation; both borders are folded into the matrices)
+    x = jnp.einsum("ih,bhwc->biwc", mv, x,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("jw,bhwc->bhjc", mh, x,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def mask_postprocess(mask: jnp.ndarray, thres: int = 20) -> jnp.ndarray:

@@ -128,6 +128,42 @@ def test_laplacian_blend_mask_extremes():
     np.testing.assert_allclose(out_b, np.asarray(b), rtol=1e-4, atol=1e-2)
 
 
+def test_gaussian_blur_matmul_matches_depthwise_conv():
+    """The MXU banded-matmul formulation must equal the reference
+    depthwise-conv formulation (cv2 GaussianBlur semantics, REFLECT_101)
+    to float precision — it replaced the conv path for speed only (the
+    101-tap single-channel depthwise conv lowers to the VPU at ~0.1
+    TFLOP/s; see tools/out/r5_xplane_gpen512_step5.json)."""
+    import jax
+
+    def conv_blur(x, ksize, sigma):
+        from s2v_tpu.pipeline.utils import _gaussian_kernel1d
+
+        c = x.shape[-1]
+        k = _gaussian_kernel1d(ksize, sigma)
+        pad = ksize // 2
+        x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                    mode="reflect")
+        kv = jnp.asarray(k, x.dtype)[:, None, None, None]
+        kh = jnp.asarray(k, x.dtype)[None, :, None, None]
+        x = jax.lax.conv_general_dilated(
+            x, jnp.tile(kv, (1, 1, 1, c)), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+        return jax.lax.conv_general_dilated(
+            x, jnp.tile(kh, (1, 1, 1, c)), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c)
+
+    for shape, ks, sg in [((2, 96, 96, 1), 101, 11.0),
+                          ((1, 64, 80, 3), 5, 1.1),
+                          ((1, 52, 52, 1), 31, 4.0)]:
+        x = jnp.asarray(RNG.rand(*shape).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(gaussian_blur(x, ks, sg)),
+            np.asarray(conv_blur(x, ks, sg)), rtol=1e-5, atol=1e-6)
+
+
 def test_mask_postprocess_border_zero():
     m = jnp.ones((1, 256, 256))
     out = np.asarray(mask_postprocess(m))
