@@ -113,10 +113,19 @@ class ParseNet(nn.Module):
 
 def parse_mask(logits: jnp.ndarray, colormap: Sequence[float]) -> jnp.ndarray:
     """[B, H, W, 19] logits -> [B, H, W] float mask via per-class colormap
-    (face_parsing.py tenor2mask semantics: argmax then idx -> value)."""
+    (face_parsing.py tenor2mask semantics: argmax then idx -> value).
+
+    TPU-first: the table lookup is a one-hot compare-sum over the 19
+    classes, not ``cmap[idx]`` — a per-pixel gather at 512^2 x batch ran
+    ~8 ms/batch on v5e (tools/out/r5_xplane_gpen512_step5.json, the
+    ``parsenet.py`` gather fusion) while the compare-sum fuses into the
+    argmax pass. Bit-identical to the gather, ties included (both reduce
+    to argmax's first-max-index).
+    """
     idx = jnp.argmax(logits, axis=-1)
     cmap = jnp.asarray(colormap, jnp.float32)
-    return cmap[idx]
+    ks = jnp.arange(cmap.shape[0], dtype=idx.dtype)
+    return jnp.sum(cmap * (idx[..., None] == ks), axis=-1)
 
 
 # the Step-6 mouth mask colormap (inference.py:304): mouth/u_lip/l_lip only

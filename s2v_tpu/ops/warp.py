@@ -279,61 +279,118 @@ def affine_warp(images: jnp.ndarray, mats: jnp.ndarray, out_hw,
     return grid_sample_bilinear(images, jnp.stack([gx, gy], axis=-1))
 
 
+# Shear-resample row-group size and residual-shift tap count. G bounds the
+# gather descriptor count (R/G per frame); U bounds the within-group source
+# drift the residual pass can absorb: |shift|*(G-1) <= U-2.
+_SHEAR_G = 8
+_SHEAR_U = 12
+
+
 def _shear_resample_rows(x: jnp.ndarray, stride: jnp.ndarray,
                          shift: jnp.ndarray, const: jnp.ndarray,
                          out_s: int) -> jnp.ndarray:
     """Per-row sheared 1D resample along the minor spatial axis.
 
-    x: [N, R, S, C]; out[n, r, t] = x[n, r, stride[n]*t + shift[n]*r +
-    const[n]] with linear interpolation, ~zeros outside [0, S).
+    x: CHANNELS-FIRST [N, C, R, S]; out[n, c, r, t] = x[n, c, r,
+    stride[n]*t + shift[n]*r + const[n]] with linear interpolation,
+    ~zeros outside [0, S).
 
-    TPU-first: the per-row source positions decompose into an integer
-    per-row window offset (ONE row-granular ``lax.gather`` — R descriptors
-    per frame instead of R*S pixel descriptors), a fractional per-row shift
-    (a 2-tap elementwise lerp), and a shared-stride resample that runs as a
-    banded-weight matmul on the MXU (``_interp_weights``). Valid for
-    stride > 0 (no mirroring); callers mask out-of-bounds outputs.
+    TPU-first (round-5 trace-driven redesign, tools/out/r5_xplane_*.json):
+
+    * the per-row source positions decompose into an integer window
+      offset per GROUP of ``_SHEAR_G`` rows — one strided ``lax.gather``
+      slice per (channel, group), R/G descriptors per image plane instead
+      of R. The per-ROW variant's 8192 descriptors/batch lowered to a
+      serial dynamic-slice while-loop that dominated both enhancement
+      stages.
+    * the gathered window is laid out with (rows, window) as the tiled
+      minor dims — channels-first, so the TPU's (8, 128) tiling pads the
+      1000-wide window dimension ~11% instead of padding a C=3 lane
+      dimension 42x (the first grouped attempt kept C minor and the
+      gather moved 42x the logical bytes: 56 us per 100 KB slice).
+    * a per-row residual shift of statically bounded range ``_SHEAR_U``
+      (a U-tap one-hot lerp XLA fuses into one lane-shift stencil pass),
+    * and a shared-stride resample as a banded-weight matmul on the MXU
+      (``_interp_weights``).
+
+    Valid for stride > 0 (no mirroring) and |shift| <= (U-2)/(G-1)
+    (~1.4, i.e. rotations to ~55 deg — the pipeline's umeyama similarity
+    warps stay well inside); callers mask out-of-bounds outputs.
     """
-    n, r, s, c = x.shape
-    # Window [base, base + k-1] must cover every in-bounds source this row
-    # can request: positions are base + frac + stride*t with stride*t >= 0,
-    # and for base >= -s the farthest in-bounds source needs
-    # stride*t < s - base <= 2s — hence k-1 = 2s+1 (one extra for the lerp).
-    k = 2 * s + 2                   # gathered window width
-    pad_l, pad_r = s, 2 * s + 2     # window start range [0, 2s] fits
-    rows = jnp.arange(r, dtype=jnp.float32)
-    pos = shift[:, None] * rows[None, :] + const[:, None]       # [N, R]
-    base = jnp.clip(jnp.floor(pos), -float(s), float(s))
-    frac = jnp.clip(pos - base, 0.0, 1.0)[..., None, None]      # [N, R,1,1]
-    starts = (base.astype(jnp.int32) + pad_l)                   # [N, R]
+    n, c, r, s = x.shape
+    G, U = _SHEAR_G, _SHEAR_U
+    rp = -(-r // G) * G             # rows padded to a multiple of G
+    if rp != r:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, rp - r), (0, 0)))
+    gc = rp // G
+    # Lerped window offsets x in [0, 2s] cover every in-bounds source a row
+    # can request (positions base + stride*t with base >= -s, source < s);
+    # the gathered window adds U for the per-row residual shift and one
+    # extra tap for its lerp.
+    kx = 2 * s + 1                  # einsum window width (as before)
+    kg = kx + U                     # gathered window width per group
+    # group starts range over [0, 2s]; the padded row must fit start+kg
+    pad_l, pad_r = s, 2 * s + 1 + U
+    rows = jnp.arange(rp, dtype=jnp.float32)
+    pos = shift[:, None] * rows[None, :] + const[:, None]       # [N, Rp]
+    # Group window origin: the smallest row base in the group (pos is
+    # monotonic in r, so it's one of the group's end rows), clipped so the
+    # gather always reads legal padded memory. Rows whose pos falls outside
+    # [-s, s] sample out-of-source anyway — the caller's footprint mask
+    # zeroes them, exactly like the old per-row clip did.
+    pg = pos.reshape(n, gc, G)
+    base_g = jnp.clip(jnp.floor(jnp.min(pg, axis=2)), -float(s), float(s))
+    starts = base_g.astype(jnp.int32) + pad_l                   # [N, Gc]
+    resid = jnp.clip(pg - base_g[..., None], 0.0, U - 2 + 0.999)
+    ri = jnp.floor(resid)
+    rf = (resid - ri).reshape(n, rp)                            # [N, Rp]
+    ri = ri.reshape(n, rp)
 
     # Edge-replicate padding: a window origin slightly out of bounds must
     # not bleed zeros into in-bounds samples (the final sample position
-    # base+frac+stride*t can be in-bounds even when base < 0). Fully
-    # out-of-bounds outputs are zeroed by the caller's footprint mask.
-    xp = jnp.pad(x, ((0, 0), (0, 0), (pad_l, pad_r), (0, 0)), mode="edge")
+    # base+resid+stride*t can be in-bounds even when base < 0).
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (pad_l, pad_r)), mode="edge")
+    # One slice per (channel, row-group): index vector (c, g*G, start),
+    # slice [1, G, Kg] with (G, Kg) as the result's tiled minor dims.
     dnums = lax.GatherDimensionNumbers(
         offset_dims=(1, 2),
         collapsed_slice_dims=(0,),
-        start_index_map=(0, 1),
+        start_index_map=(0, 1, 2),
     )
+    cs = jnp.broadcast_to(
+        jnp.arange(c, dtype=jnp.int32)[:, None], (c, gc))       # [C, Gc]
+    gs = jnp.broadcast_to(
+        jnp.arange(gc, dtype=jnp.int32)[None] * G, (c, gc))
     st = jnp.stack(
-        [jnp.broadcast_to(jnp.arange(r, dtype=jnp.int32)[None], (n, r)),
-         starts], axis=-1)                                      # [N, R, 2]
+        [jnp.broadcast_to(cs[None], (n, c, gc)),
+         jnp.broadcast_to(gs[None], (n, c, gc)),
+         jnp.broadcast_to(starts[:, None], (n, c, gc))],
+        axis=-1).reshape(n, c * gc, 3)                          # [N, CGc, 3]
 
-    def gather_rows(img, idx):
-        return lax.gather(img, idx, dnums, slice_sizes=(1, k, c),
+    def gather_groups(img, idx):
+        return lax.gather(img, idx, dnums, slice_sizes=(1, G, kg),
                           mode=lax.GatherScatterMode.CLIP)
 
-    win = jax.vmap(gather_rows)(xp, st)                         # [N, R, K, C]
-    # fractional per-row shift: window[x] now holds source base+frac+x
-    win = win[:, :, : k - 1] * (1.0 - frac) + win[:, :, 1:] * frac
+    win = jax.vmap(gather_groups)(xp, st)       # [N, C*Gc, G, Kg]
+    win = win.reshape(n, c, rp, kg)
+    # Per-row residual shift: a U-tap one-hot lerp (weight (1-rf) at tap
+    # ri, rf at tap ri+1) over U statically lane-shifted views — XLA
+    # fuses the sum into one stencil pass. window[x] then holds source
+    # pos+x.
+    us = jnp.arange(U, dtype=ri.dtype).reshape(1, 1, U)
+    wu = ((us == ri[..., None]) * (1.0 - rf)[..., None]
+          + (us == (ri + 1.0)[..., None]) * rf[..., None])      # [N, Rp, U]
+    wu = wu[:, None]                                            # [N,1,Rp,U]
+    acc = wu[..., 0, None] * win[..., 0:kx]
+    for u in range(1, U):
+        acc = acc + wu[..., u, None] * win[..., u:u + kx]
     # shared-stride resample on the MXU: positions stride*t within the
     # window (the per-row offset is already absorbed above)
     ts = jnp.arange(out_s, dtype=jnp.float32)
-    wx = _interp_weights(stride[:, None] * ts[None, :], k - 1)  # [N,T,K-1]
-    return jnp.einsum("ntx,nrxc->nrtc", wx, win,
-                      precision=lax.Precision.HIGHEST)
+    wx = _interp_weights(stride[:, None] * ts[None, :], kx)     # [N,T,Kx]
+    out = jnp.einsum("ntx,ncrx->ncrt", wx, acc,
+                     precision=lax.Precision.HIGHEST)
+    return out[:, :, :r]
 
 
 def affine_warp_shear(images: jnp.ndarray, mats: jnp.ndarray, out_hw,
@@ -357,9 +414,12 @@ def affine_warp_shear(images: jnp.ndarray, mats: jnp.ndarray, out_hw,
     EXACT on locally-linear image content, slight smoothing on curvature
     (~50 dB PSNR vs the exact path on smooth natural content, measured in
     tests/test_warp_shear.py).
-    Validity domain: d > 0 and (a - b*c/d) > 0, i.e. positive scale and
-    |rotation| < 90 deg — always true for the pipeline's umeyama similarity
-    aligns/pastes. Out-of-bounds outputs are zeroed like cv2's
+    Validity domain: d > 0, (a - b*c/d) > 0, and per-pass shear
+    |b/d| resp. |c| <= (_SHEAR_U - 2) / (_SHEAR_G - 1) (~1.43, i.e.
+    positive scale with |rotation| up to ~55 deg; beyond that the grouped
+    residual window clips and samples drift) — comfortably met by the
+    pipeline's umeyama similarity aligns/pastes, whose head-roll angles
+    stay far inside it. Out-of-bounds outputs are zeroed like cv2's
     BORDER_CONSTANT; the border ring may differ from the exact path by one
     tap. The exact ``affine_warp`` remains the default and the parity
     surface.
@@ -382,13 +442,15 @@ def affine_warp_shear(images: jnp.ndarray, mats: jnp.ndarray, out_hw,
     ax = i00 - i01 * i10 / d_safe          # horizontal shared stride
     bx = i01 / d_safe                      # horizontal per-row shift
     cx = i02 - i01 * i12 / d_safe
-    x = images.astype(jnp.float32)
+    # channels-first through both passes (see _shear_resample_rows: the
+    # gathered window must keep (rows, window) as the tiled minor dims)
+    x = jnp.transpose(images.astype(jnp.float32), (0, 3, 1, 2))
     # pass 1: rows keep their y, columns resampled to output-x space
-    mid = _shear_resample_rows(x, ax, bx, cx, ow)        # [N, H, ow, C]
+    mid = _shear_resample_rows(x, ax, bx, cx, ow)        # [N, C, H, ow]
     # pass 2: per output column j, resample along y at i10*j + i11*i + i12
-    mid_t = jnp.swapaxes(mid, 1, 2)                      # [N, ow, H, C]
+    mid_t = jnp.swapaxes(mid, 2, 3)                      # [N, C, ow, H]
     out_t = _shear_resample_rows(mid_t, i11, i10, i12, oh)
-    out = jnp.swapaxes(out_t, 1, 2)                      # [N, oh, ow, C]
+    out = jnp.transpose(out_t, (0, 3, 2, 1))             # [N, oh, ow, C]
 
     # zero outside the source footprint (cv2 BORDER_CONSTANT)
     xs = jnp.arange(ow, dtype=jnp.float32)[None, None, :]

@@ -37,6 +37,26 @@ if REPO not in sys.path:
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from parity_pipeline import raw_boxes, synthetic_lms  # noqa: E402
+
+
+def _rotated_lms(tag: str, n: int, h: int, w: int) -> np.ndarray:
+    """synthetic_lms plus a per-frame in-plane head roll of up to ~6 deg.
+
+    The stock synthetic landmarks are perfectly upright, so the umeyama
+    similarity to REFERENCE_FACIAL_POINTS comes out rotation-free and the
+    sheared-separable decomposition is EXACT (the r5 first run recorded
+    max_abs=0 — a degenerate measurement). Rolling the landmark cloud
+    around its centroid puts real rotation (hence real shear + per-row
+    residual shifts) into every Step-5 / mouth-tail warp this tool is
+    supposed to measure.
+    """
+    lm = synthetic_lms(tag, n, h, w)
+    ang = np.deg2rad(np.linspace(-6.0, 6.0, n, dtype=np.float32))
+    c = lm.mean(axis=1, keepdims=True)
+    cos, sin = np.cos(ang)[:, None], np.sin(ang)[:, None]
+    x, y = lm[..., 0] - c[..., 0], lm[..., 1] - c[..., 1]
+    out = np.stack([cos * x - sin * y, sin * x + cos * y], axis=-1) + c
+    return out.astype(np.float32)
 from s2v_tpu.utils.jitcache import enable_persistent_cache
 
 enable_persistent_cache()
@@ -100,15 +120,15 @@ def _run(ckpt_dir: str, clip: str, wav: str, approx: bool) -> np.ndarray:
     pipe = LipSyncPipeline(cfg, models)
 
     lm_by_tag = {
-        (H, W): synthetic_lms("full", N, H, W),
-        (256, 256): synthetic_lms("crop256", N, 256, 256),
+        (H, W): _rotated_lms("full", N, H, W),
+        (256, 256): _rotated_lms("crop256", N, 256, 256),
     }
     stab_seen = {"done": False}
 
     def fake_landmarks(fr, batch=8, return_boxes=False):
         key = fr.shape[1:3]
         if key == (256, 256) and stab_seen["done"]:
-            lms = synthetic_lms("stab", len(fr), 256, 256)
+            lms = _rotated_lms("stab", len(fr), 256, 256)
         else:
             lms = lm_by_tag[key][: len(fr)]
         bx = raw_boxes(len(fr), *key).astype(np.float32)
@@ -151,6 +171,8 @@ def main():
         "n_frames": int(len(exact)),
         "stages_on": "gpen512_step5 + gfpgan mouth tail (final 2048 stage "
                      "filtered; same affine_warp call sites, see docstring)",
+        "head_roll_deg": "-6..+6 per frame (rotation-bearing umeyama warps; "
+                         "upright landmarks make the shear path exact)",
         "weights": "synthesized production-geometry checkpoints "
                    "(tools/make_synth_ckpts.py)",
     }
