@@ -108,6 +108,15 @@ def _run(ckpt_dir: str, clip: str, wav: str, approx: bool) -> np.ndarray:
         "--checkpoint_dir", ckpt_dir, "--tmp_dir", tmp,
         "--lnet_batch_size", "8", "--re_preprocess",
         "--model.dtype", "float32",
+        # With synthesized (random-init) weights the RetinaFace landmark
+        # head collapses to a point, so detector-driven umeyama transforms
+        # come out with scale ~4e-8 — BOTH warp paths then emit the same
+        # degenerate constant and the delta measures nothing (max_abs=0,
+        # observed twice in r5). reuse_detections threads the injected
+        # FAN landmarks (rotation-bearing, _rotated_lms) into the Step-5 /
+        # mouth-tail umeyama instead — real similarity warps, and also the
+        # production round-5 knob configuration.
+        "--model.reuse_detections", "true",
     ]
     if approx:
         args += ["--model.approx_warp", "true"]
@@ -173,6 +182,9 @@ def main():
                      "filtered; same affine_warp call sites, see docstring)",
         "head_roll_deg": "-6..+6 per frame (rotation-bearing umeyama warps; "
                          "upright landmarks make the shear path exact)",
+        "geometry": "model.reuse_detections=true on both sides (injected "
+                    "FAN landmarks drive the umeyama; synthetic-weight "
+                    "RetinaFace geometry is point-degenerate)",
         "weights": "synthesized production-geometry checkpoints "
                    "(tools/make_synth_ckpts.py)",
     }
