@@ -411,6 +411,29 @@ def bench_e2e(n_frames: int = None, hw: int = None, with_final: bool = False):
 _PEAK_BF16_FLOPS = 197e12
 
 
+def _final2048_roofline_flops() -> float:
+    """GPEN-2048 split-chain program FLOPs (batch 1) from the recorded
+    ``final2048_roofline_cpu_costanalysis`` line in BENCH_LOCAL.json —
+    the detect+umeyama / faces_and_masks / paste / composite programs'
+    ``Lowered.cost_analysis()`` sum, excluding the separately timed SR."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_LOCAL.json")
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                if rec.get("metric") == "final2048_roofline_cpu_costanalysis":
+                    g = rec["detail"]["gflop_per_frame"]
+                    return sum(v for k, v in g.items()
+                               if k != "final_sr_x2") * 1e9
+    except Exception:
+        pass
+    return float("nan")
+
+
 def transfer_ledger(hw: int = 384) -> dict:
     """Analytic bytes-per-frame crossing the host<->device link for the
     default six-stage e2e flow (cache-miss run), from the static shapes of
@@ -765,6 +788,13 @@ def bench_devtime(with_final: bool = False, n_iter: int = 12,
             flops[name] = float(ca.get("flops", float("nan")))
         except Exception:
             flops[name] = float("nan")
+        if name == "final_gpen2048" and flops[name] != flops[name]:
+            # host-chained split stage: no single Compiled to cost-analyze.
+            # Single-source the program FLOPs from the recorded CPU
+            # cost-analysis roofline (tools/final2048_roofline.py writes
+            # BENCH_LOCAL.json; same traced programs, abstract args) —
+            # batch-1 flops, the same convention as final_sr_x2's slot.
+            flops[name] = _final2048_roofline_flops()
         print(f"# {name}: {results[name]}", file=sys.stderr, flush=True)
 
     total_ms = sum(r["ms_per_frame"] for k, r in results.items()
