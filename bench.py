@@ -834,6 +834,31 @@ def bench_devtime(with_final: bool = False, n_iter: int = 12,
     }
 
 
+def _recorded_knob_line() -> dict:
+    """The latest RECORDED opt-in knob-stack devtime (detector bf16 +
+    parse_size 256 + approx_warp + reuse_detections), attached to the
+    default-config headline so one bench line carries both numbers. This
+    is a checked-in artifact from a prior on-chip run, clearly labeled —
+    not re-measured in this invocation (the default config stays the
+    parity surface and the headline)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "out", "r5_allknobs2_devtime.out")
+    try:
+        with open(path) as f:
+            rec = json.loads(f.read().strip())
+        return {
+            "device_e2e_fps_384px": rec["value"],
+            "device_ms_per_frame_total":
+                rec["detail"]["device_ms_per_frame_total"],
+            "knobs": "detector_dtype=bfloat16 parse_size=256 approx_warp "
+                     "reuse_detections (opt-in; quality deltas in "
+                     "PARITY_r05.json)",
+            "artifact": "tools/out/r5_allknobs2_devtime.out",
+        }
+    except Exception:
+        return {}
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "all"
     # establish backend health with a hard timeout BEFORE any jax call:
@@ -879,6 +904,9 @@ def main():
             dev = bench_devtime(
                 with_final=os.environ.get("S2V_BENCH_FULL") == "1")
             dev["detail"]["generator_fps_bf16_b16"] = gen["value"]
+            knob = _recorded_knob_line()
+            if knob:
+                dev["detail"]["knob_line_recorded"] = knob
             print(json.dumps(dev), flush=True)
         except Exception as e:  # noqa: BLE001
             sys.stderr.write(f"devtime bench failed: {e!r}\n")
