@@ -841,22 +841,24 @@ def _recorded_knob_line() -> dict:
     is a checked-in artifact from a prior on-chip run, clearly labeled —
     not re-measured in this invocation (the default config stays the
     parity surface and the headline)."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "tools", "out", "r5_allknobs2_devtime.out")
-    try:
-        with open(path) as f:
-            rec = json.loads(f.read().strip())
-        return {
-            "device_e2e_fps_384px": rec["value"],
-            "device_ms_per_frame_total":
-                rec["detail"]["device_ms_per_frame_total"],
-            "knobs": "detector_dtype=bfloat16 parse_size=256 approx_warp "
-                     "reuse_detections (opt-in; quality deltas in "
-                     "PARITY_r05.json)",
-            "artifact": "tools/out/r5_allknobs2_devtime.out",
-        }
-    except Exception:
-        return {}
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tools", "out")
+    for name in ("r5_allknobs3_devtime.out", "r5_allknobs2_devtime.out"):
+        try:
+            with open(os.path.join(out_dir, name)) as f:
+                rec = json.loads(f.read().strip())
+            return {
+                "device_e2e_fps_384px": rec["value"],
+                "device_ms_per_frame_total":
+                    rec["detail"]["device_ms_per_frame_total"],
+                "knobs": "detector_dtype=bfloat16 parse_size=256 "
+                         "approx_warp reuse_detections (opt-in; quality "
+                         "deltas in PARITY_r05.json)",
+                "artifact": "tools/out/" + name,
+            }
+        except Exception:
+            continue
+    return {}
 
 
 def main():

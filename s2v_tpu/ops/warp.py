@@ -17,6 +17,8 @@ match the reference's 2-channel conv output (models/DNet.py:77-79).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -281,9 +283,14 @@ def affine_warp(images: jnp.ndarray, mats: jnp.ndarray, out_hw,
 
 # Shear-resample row-group size and residual-shift tap count. G bounds the
 # gather descriptor count (R/G per frame); U bounds the within-group source
-# drift the residual pass can absorb: |shift|*(G-1) <= U-2.
-_SHEAR_G = 8
-_SHEAR_U = 12
+# drift the residual pass can absorb: |shift|*(G-1) <= U-2. G=16/U=24
+# measured fastest on v5e (tools/out/r5_shear_g_probe.out: gpen512_step5
+# 4.18/3.59/4.31 ms/frame and mouth_tail 14.39/13.72/14.45 at G=8/16/32 —
+# G=32's 47-tap residual loop eats the gather win); the shift bound stays
+# (U-2)/(G-1) ~ 1.47. S2V_SHEAR_G/S2V_SHEAR_U remain a bench-probe
+# override, not a product knob.
+_SHEAR_G = int(os.environ.get("S2V_SHEAR_G", "16"))
+_SHEAR_U = int(os.environ.get("S2V_SHEAR_U", "24"))
 
 
 def _shear_resample_rows(x: jnp.ndarray, stride: jnp.ndarray,
