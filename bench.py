@@ -456,7 +456,7 @@ def transfer_ledger(hw: int = 384) -> dict:
                                      # all index the device-resident copy
         "coeffs_aligned": 224 * 224 * 3,  # PIL-aligned faces (host-exact)
         "stabilize_coeffs": 26 * 73 * 4,  # semantic windows (host arrays)
-        "reffaces_geo": (4 * 2 + 8 + 4) * 4,  # quads/pcoeffs/box (host PIL)
+        "reffaces_geo": (6 + 6 + 4) * 4,  # affine mats + box (host PIL)
         "step6_mel": 80 * 16 * 4,
     }
     d2h = {
@@ -545,11 +545,21 @@ def bench_devtime(with_final: bool = False, n_iter: int = 12,
     boxes = jnp.asarray(
         np.tile(np.asarray([cx - s, cy - s, cx + s, cy + s], np.float32),
                 (B, 1)))
-    quads = jnp.asarray(
-        np.tile(np.asarray([[32, 32], [32, 224], [224, 224], [224, 32]],
-                           np.float32), (B, 1, 1)))
-    pcoeffs = jnp.asarray(
-        np.tile(np.asarray([1, 0, 0, 0, 1, 0, 0, 0], np.float32), (B, 1)))
+    # ref_all takes affine mats now (build_reference_faces: the FFHQ quads
+    # are parallelograms, so both warps are exactly affine). Same synthetic
+    # geometry as before: quad (32,32)-(224,224), axis-aligned.
+    nw, ne, sw = (np.asarray([32.0, 32.0]), np.asarray([224.0, 32.0]),
+                  np.asarray([32.0, 224.0]))
+    ex, ey = (ne - nw) / 256.0, (sw - nw) / 256.0
+    qm = np.asarray([[ex[0], ey[0], nw[0] + 0.5 * (ex[0] + ey[0]) - 0.5],
+                     [ex[1], ey[1], nw[1] + 0.5 * (ex[1] + ey[1]) - 0.5]],
+                    np.float32)
+    mi = np.linalg.inv(np.stack([ex, ey], axis=1))
+    t = mi @ (np.asarray([0.5, 0.5]) - nw) - 0.5
+    pm = np.asarray([[mi[0, 0], mi[0, 1], t[0]],
+                     [mi[1, 0], mi[1, 1], t[1]]], np.float32)
+    quads = jnp.asarray(np.tile(qm, (B, 1, 1)))
+    pcoeffs = jnp.asarray(np.tile(pm, (B, 1, 1)))
 
     from s2v_tpu.models.resnet import ReconNet
     from s2v_tpu.models import DNet, ENet
@@ -843,7 +853,8 @@ def _recorded_knob_line() -> dict:
     parity surface and the headline)."""
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "tools", "out")
-    for name in ("r5_allknobs3_devtime.out", "r5_allknobs2_devtime.out"):
+    for name in ("r5_refaff_devtime.out", "r5_allknobs3_devtime.out",
+                 "r5_allknobs2_devtime.out"):
         try:
             with open(os.path.join(out_dir, name)) as f:
                 rec = json.loads(f.read().strip())

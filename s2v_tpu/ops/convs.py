@@ -13,6 +13,7 @@ distribution family as the reference's.
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional, Sequence, Tuple, Union
 
 import jax
@@ -20,6 +21,69 @@ import jax.numpy as jnp
 import numpy as np
 
 IntOrPair = Union[int, Tuple[int, int]]
+
+# --- space-to-depth 3x3 conv (opt-in probe; measured SLOWER on v5e) ----------
+# High-resolution stride-1 3x3 convs with few channels (GFPGAN/GPEN condition
+# and decoder convs: C=16..64 at 256^2-512^2) run at 5-12% MFU on the MXU
+# because the contraction dim (9*C) under-fills the 128-wide systolic array
+# (profiled: tools/out/r5_xplane_mouth_tail2.json, condition_scale6_2 at
+# 10.6 TFLOP/s). Packing 2x2 spatial blocks into channels turns the 3x3 conv
+# into an exactly-equivalent 2x2 conv over 4C -> 4Co channels: each output
+# 2x2 block needs a 4x4 input window, which after a +1 row/col shift aligns
+# to 2x2 packed blocks. Same per-output dot-product terms (16C taps of which
+# 9C nonzero -> 16/9x nominal FLOPs), 4x fuller MXU lanes.
+#
+# MEASURED ON CHIP (tools/out/r5_s2d_devtime.out vs r5_allknobs3): a LOSS on
+# every stage — mouth_tail 13.7 -> 20.0 ms/frame, gpen512_step5 3.6 -> 4.5,
+# landmarks_384 1.6 -> 2.4. The pack/unpack transposes break XLA's
+# conv+bias+activation fusions, adding full HBM round trips that outweigh
+# the MXU fill win. Kept as an opt-in probe (S2V_S2D_CONV=1) with torch
+# parity coverage; the direct lowering stays the product path.
+_S2D_ENABLE = os.environ.get("S2V_S2D_CONV", "0") == "1"
+_S2D_MAX_CIN = 64           # only below MXU lane width does packing pay
+_S2D_MIN_PIXELS = 160 * 160  # small outputs: transpose overhead dominates
+
+# M[p,q,r,s,a,b,u,v] = 1 where packed-kernel tap (p,q) at packed-input
+# channel block (r,s) contributes original kernel tap (u,v) to packed-output
+# channel block (a,b): u = 2p+r-a, v = 2q+s-b, both in [0,2].
+_S2D_M = np.zeros((2, 2, 2, 2, 2, 2, 3, 3), np.float32)
+for _p in range(2):
+    for _q in range(2):
+        for _r in range(2):
+            for _s in range(2):
+                for _a in range(2):
+                    for _b in range(2):
+                        _u, _v = 2 * _p + _r - _a, 2 * _q + _s - _b
+                        if 0 <= _u <= 2 and 0 <= _v <= 2:
+                            _S2D_M[_p, _q, _r, _s, _a, _b, _u, _v] = 1.0
+
+
+def _conv3x3_s2d(x: jnp.ndarray, w: jnp.ndarray,
+                 ph: int, pw: int) -> jnp.ndarray:
+    """Exact 3x3 stride-1 conv via 2x2-spatial channel packing.
+
+    Preconditions (checked by the caller): H+2ph, W+2pw even and the output
+    H+2ph-2, W+2pw-2 even; groups=1, dilation=1.
+    """
+    B, H, W, C = x.shape
+    Co = w.shape[3]
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    He, We = H + 2 * ph, W + 2 * pw
+    # pack: [B,He/2,2,We/2,2,C] -> [B,He/2,We/2,(r,s,c)]
+    xp = x.reshape(B, He // 2, 2, We // 2, 2, C)
+    xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(B, He // 2, We // 2, 4 * C)
+    # packed kernel [2,2,(r,s,c),(a,b,co)]
+    m = jnp.asarray(_S2D_M, w.dtype)
+    w2 = jnp.einsum("pqrsabuv,uvco->pqrscabo", m, w)
+    w2 = w2.reshape(2, 2, 4 * C, 4 * Co)
+    out = jax.lax.conv_general_dilated(
+        xp, w2.astype(x.dtype), window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    Ho, Wo = He - 2, We - 2
+    out = out.reshape(B, Ho // 2, Wo // 2, 2, 2, Co)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Ho, Wo, Co)
+    return out
 
 
 def _pair(v: IntOrPair) -> Tuple[int, int]:
@@ -75,6 +139,18 @@ def conv2d(
             mode = {"reflect": "reflect", "replicate": "edge"}[padding_mode]
             x = jnp.pad(x, ((0, 0), pad[0], pad[1], (0, 0)), mode=mode)
             pad = [(0, 0), (0, 0)]
+        if (_S2D_ENABLE and groups == 1 and w.shape[:2] == (3, 3)
+                and (sh, sw) == (1, 1) and (dh, dw) == (1, 1)
+                and pad[0][0] == pad[0][1] and pad[1][0] == pad[1][1]
+                and x.shape[3] <= _S2D_MAX_CIN):
+            ph, pw = pad[0][0], pad[1][0]
+            he, we = x.shape[1] + 2 * ph, x.shape[2] + 2 * pw
+            if (he % 2 == 0 and we % 2 == 0 and he >= 4 and we >= 4
+                    and (he - 2) * (we - 2) >= _S2D_MIN_PIXELS):
+                out = _conv3x3_s2d(x, w, ph, pw)
+                if b is not None:
+                    out = out + b.astype(out.dtype)
+                return out
     out = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),

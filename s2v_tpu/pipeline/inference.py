@@ -51,12 +51,10 @@ from s2v_tpu.models.resnet import ReconNet
 from s2v_tpu.models.s3fd import BGR_MEAN, S3FD, best_boxes, pad_and_smooth_boxes
 from s2v_tpu.ops.image import resize_bilinear
 from s2v_tpu.pipeline.align import (
-    calc_alignment_coefficients,
     compute_transform,
     crop_quad_params,
     ffhq_crop_box,
     quad_from_cxy,
-    warp_by_grid,
 )
 from s2v_tpu.pipeline.face3d_prep import align_img
 from s2v_tpu.pipeline.utils import find_crop_norm_ratio, transform_semantic
@@ -575,9 +573,8 @@ class LipSyncPipeline:
 
         Returns [N, img_size, img_size, 3] float32 device array (0..255).
         """
-        from s2v_tpu.ops.warp import crop_resize_boxes
-        from s2v_tpu.pipeline.align import (
-            perspective_grids_batched, quad_grids_batched,
+        from s2v_tpu.ops.warp import (
+            affine_warp, affine_warp_shear, crop_resize_boxes,
         )
 
         n = len(stabilized)
@@ -586,12 +583,18 @@ class LipSyncPipeline:
             lms = self.extract_landmarks(stabilized)
         image_size = 256
         img_size = self.cfg.model.img_size
-        square = [[0, 0], [0, image_size], [image_size, image_size],
-                  [image_size, 0]]
 
-        # per-frame geometry on host: 4 quad corners + 8 perspective coeffs
-        quads = np.zeros((n, 4, 2), np.float32)
-        pcoeffs = np.zeros((n, 8), np.float32)
+        # Per-frame geometry on host. quad_from_cxy quads are parallelograms
+        # by construction (c +- x +- y), so BOTH warps — the QUAD re-align
+        # (PIL bilinear-over-corners) and its inverse PERSPECTIVE paste
+        # (calc_alignment_coefficients would solve g=h=0) — are exactly
+        # affine: 6 floats per frame each, and the warps ride the
+        # affine_warp path (separable sheared passes under model.approx_warp
+        # instead of the descriptor-rate-bound 2x2-patch gather, profiled
+        # at 0.4 TFLOP/s effective in tools/out/r5_allknobs3 reffaces).
+        S = float(image_size)
+        quad_mats = np.zeros((n, 2, 3), np.float32)   # crops <- stabilized
+        paste_mats = np.zeros((n, 2, 3), np.float32)  # region256 <- crops
         for i in range(n):
             c, x, y = compute_transform(lms[i].astype(np.float64), scale=1.0)
             quad = quad_from_cxy(c, x, y)
@@ -599,30 +602,42 @@ class LipSyncPipeline:
                 quad, (image_size, image_size), image_size
             )
             # QUAD warp sampled from the FULL stabilized frame (crop offset
-            # folded into the quad) — one batched gather later
-            quad_full = quad_adj + np.asarray(crop_box[:2], np.float64)
-            quads[i] = quad_full
-            pcoeffs[i] = calc_alignment_coefficients(quad_full, square)
+            # folded into the quad)
+            q = quad_adj + np.asarray(crop_box[:2], np.float64)
+            nw, sw, se, ne = q[0], q[1], q[2], q[3]
+            ex, ey = (ne - nw) / S, (sw - nw) / S  # source steps per out px
+            # index(x_out, y_out) = nw + (x+0.5)ex + (y+0.5)ey - 0.5
+            quad_mats[i, 0] = [ex[0], ey[0],
+                               nw[0] + 0.5 * (ex[0] + ey[0]) - 0.5]
+            quad_mats[i, 1] = [ex[1], ey[1],
+                               nw[1] + 0.5 * (ex[1] + ey[1]) - 0.5]
+            # paste: output (x,y) in stabilized space -> source in crops:
+            # F(u) = nw + M u with M = [ex ey]; source = M^-1((x,y)+0.5-nw)-0.5
+            m = np.array([[ex[0], ey[0]], [ex[1], ey[1]]], np.float64)
+            mi = np.linalg.inv(m)
+            t = mi @ (np.array([0.5, 0.5]) - nw) - 0.5
+            paste_mats[i, 0] = [mi[0, 0], mi[0, 1], t[0]]
+            paste_mats[i, 1] = [mi[1, 0], mi[1, 1], t[1]]
 
-        key = ("ref_all", oy1, oy2, ox1, ox2)
+        approx = bool(getattr(self.cfg.model, "approx_warp", False))
+        key = ("ref_all", oy1, oy2, ox1, ox2, approx)
         if key not in self._jits:
+            warp = affine_warp_shear if approx else affine_warp
+
             @jax.jit
-            def ref_all(stab_u8, full_u8, quads, pcoeffs, boxes):
+            def ref_all(stab_u8, full_u8, qmats, pmats, boxes):
                 stab = stab_u8.astype(jnp.float32)
-                qg = quad_grids_batched(quads, image_size, stab.shape[1:3])
-                pg = perspective_grids_batched(
-                    pcoeffs, (image_size, image_size),
-                    (image_size, image_size))
-                crops = warp_by_grid(stab, qg)  # [N,256,256,3]
+                crops = warp(stab, qmats, (image_size, image_size),
+                             inverse=True)  # [N,256,256,3]
                 ff = full_u8.astype(jnp.float32)
                 region = ff[:, oy1:oy2, ox1:ox2]
                 region_256 = resize_bilinear(region, (256, 256))
-                # RGB + coverage mask share one 4-channel perspective warp
-                # (gather cost scales with pixels, not channels)
-                packed = warp_by_grid(
+                # RGB + coverage mask share one 4-channel paste warp
+                packed = warp(
                     jnp.concatenate(
                         [crops, jnp.ones(crops.shape[:3] + (1,),
-                                         jnp.float32)], axis=-1), pg)
+                                         jnp.float32)], axis=-1),
+                    pmats, (image_size, image_size), inverse=True)
                 projected, mask = packed[..., :3], packed[..., 3:4]
                 pasted = projected * mask + region_256 * (1 - mask)
                 back = jnp.clip(
@@ -635,7 +650,7 @@ class LipSyncPipeline:
 
         return self._jits[key](
             self._dev(stabilized), self._dev(full_frames),
-            self._dev(quads), self._dev(pcoeffs),
+            self._dev(quad_mats), self._dev(paste_mats),
             self._dev(np.asarray(boxes)[:, [0, 1, 2, 3]].astype(np.float32)),
         )
 

@@ -86,3 +86,36 @@ def test_conv_transpose2d_matches_torch():
     )
     assert got.shape == want.shape == (2, 16, 16, 4)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_conv2d_s2d_path_matches_torch():
+    """The opt-in space-to-depth 3x3 path (convs.py _conv3x3_s2d,
+    S2V_S2D_CONV=1 — measured slower on v5e, see the module comment) must
+    stay numerically equivalent to torch F.conv2d on the same weights."""
+    import s2v_tpu.ops.convs as cv
+
+    x = RNG.randn(1, 160, 162, 24).astype(np.float32)
+    w = RNG.randn(16, 24, 3, 3).astype(np.float32)
+    b = RNG.randn(16).astype(np.float32)
+    want = F.conv2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), torch.from_numpy(w),
+        torch.from_numpy(b), stride=1, padding=1,
+    ).numpy().transpose(0, 2, 3, 1)
+    prev = cv._S2D_ENABLE
+    cv._S2D_ENABLE = True
+    try:
+        assert 160 * 162 >= cv._S2D_MIN_PIXELS  # gate takes the packed branch
+        got = np.asarray(
+            conv2d(jnp.asarray(x), jnp.asarray(torch_conv_weight_to_hwio(w)),
+                   jnp.asarray(b), stride=1, padding=1)
+        )
+        # odd spatial size must fall back to the direct lowering
+        x_odd = RNG.randn(1, 161, 162, 24).astype(np.float32)
+        got_odd = np.asarray(
+            conv2d(jnp.asarray(x_odd),
+                   jnp.asarray(torch_conv_weight_to_hwio(w)), padding=1))
+    finally:
+        cv._S2D_ENABLE = prev
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert got_odd.shape == (1, 161, 162, 16)
