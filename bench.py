@@ -274,6 +274,9 @@ def build_e2e_pipeline(n_frames: int, hw: int, with_final: bool):
         "model.detector_dtype": ("bfloat16"
                                  if os.environ.get("S2V_DET_BF16") == "1"
                                  else "float32"),
+        # the pipeline's own warps (reffaces quad/paste) honor the same
+        # approx knob the enhancer/restorer constructors got above
+        "model.approx_warp": approx_warp,
     })
     pipe = LipSyncPipeline(cfg, models)
 
@@ -853,8 +856,8 @@ def _recorded_knob_line() -> dict:
     parity surface and the headline)."""
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "tools", "out")
-    for name in ("r5_refaff_devtime.out", "r5_allknobs3_devtime.out",
-                 "r5_allknobs2_devtime.out"):
+    for name in ("r5_allknobs4_devtime.out", "r5_refaff_devtime.out",
+                 "r5_allknobs3_devtime.out", "r5_allknobs2_devtime.out"):
         try:
             with open(os.path.join(out_dir, name)) as f:
                 rec = json.loads(f.read().strip())

@@ -479,12 +479,20 @@ class ModulatedConv2d(nn.Module):
             name="modulation",
         )(style.reshape(b, -1))  # [B, Cin]
 
+        # The modulation is a per-(sample, channel) scale and bilinear
+        # resize is channelwise-linear, so the mul commutes with the
+        # resize exactly — apply it on the SMALLER tensor (the on-chip
+        # trace showed the full-res mul materializing a layout copy at
+        # HBM speed: tools/out/r5_xplane_mouth_tail2.json copy.1939).
+        sc = s[:, None, None, :]
         if self.sample_mode == "upsample":
+            x = x * sc.astype(x.dtype)
             x = resize_bilinear(x, (2 * h, 2 * w))
         elif self.sample_mode == "downsample":
             x = resize_bilinear(x, (h // 2, w // 2))
-
-        x = x * s[:, None, None, :].astype(x.dtype)
+            x = x * sc.astype(x.dtype)
+        else:
+            x = x * sc.astype(x.dtype)
         out = conv2d(x, weight, padding=k // 2)
         if self.demodulate:
             # demod[b, o] = rsqrt(sum_{khw,i} (w * s)^2)

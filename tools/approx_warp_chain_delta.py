@@ -5,9 +5,11 @@ Drives ``LipSyncPipeline.run`` twice on identical synthesized production
 checkpoints, identical injected landmarks/boxes and the identical synthetic
 clip — once on the exact gather-warp path (the parity surface) and once
 with ``model.approx_warp=1`` (sheared separable warps in the GPEN-512
-Step-5 enhancer and the GFPGAN mouth tail; the core pipeline's axis-aligned
-crops are separable-exact either way, ops/warp.py:340-380) — then records
-per-frame PSNR between the two finals into PARITY_<S2V_ROUND>.json.
+Step-5 enhancer, the GFPGAN mouth tail and — since the round-5 affine
+re-derivation — the reffaces quad/paste warps; the core pipeline's
+axis-aligned crops are separable-exact either way, ops/warp.py:340-380) —
+then records per-frame PSNR between the two finals into
+PARITY_<S2V_ROUND>.json.
 
 The GPEN-2048+SR final stage is left OFF (checkpoints filtered): its warps
 are the same ``affine_warp`` call sites at 4x the resolution, and a CPU run
@@ -178,7 +180,8 @@ def main():
         "max_abs": int(d.max()),
         "frac_within_2": round(float((d <= 2).mean()), 4),
         "n_frames": int(len(exact)),
-        "stages_on": "gpen512_step5 + gfpgan mouth tail (final 2048 stage "
+        "stages_on": "gpen512_step5 + gfpgan mouth tail + reffaces "
+                     "quad/paste (final 2048 stage "
                      "filtered; same affine_warp call sites, see docstring)",
         "head_roll_deg": "-6..+6 per frame (rotation-bearing umeyama warps; "
                          "upright landmarks make the shear path exact)",

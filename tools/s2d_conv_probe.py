@@ -21,11 +21,17 @@ Usage: python tools/s2d_conv_probe.py  (writes one JSON line per shape)
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
 from s2v_tpu.utils.jitcache import enable_persistent_cache
 
@@ -74,13 +80,15 @@ def time_variant(fn, args, n_iter=24):
     f = jax.jit(fn)
     carry = jnp.zeros((), jnp.float32)
     out = f(carry, *args)
-    jax.block_until_ready(out)
+    np.asarray(out)  # force real completion through the relay (d2h fetch)
     t0 = time.time()
     c = jnp.zeros((), jnp.float32)
     for _ in range(n_iter):
         c = f(c, *args)
-    jax.block_until_ready(c)
-    return (time.time() - t0) / n_iter * 1000.0
+    v = float(np.asarray(c))
+    dt = (time.time() - t0) / n_iter * 1000.0
+    assert v == v  # NaN guard: the chain must have actually run
+    return dt
 
 
 def main():
