@@ -69,7 +69,16 @@ def _separable_resize(x: jnp.ndarray, wh: np.ndarray, ww: np.ndarray) -> jnp.nda
 
 
 def resize_bilinear(x: jnp.ndarray, out_hw: tuple) -> jnp.ndarray:
-    """torch ``F.interpolate(mode='bilinear', align_corners=False)`` in NHWC."""
+    """torch ``F.interpolate(mode='bilinear', align_corners=False)`` in NHWC.
+
+    Measured-negative (round 5): a fixed-stencil shift-lerp/pair-mean path
+    for the exact 2x/0.5x factors — motivated by the trace's layout copies
+    around these dots (r5_xplane_mouth_tail3) — ran SLOWER on v5e than the
+    interpolation matmuls (mouth_tail 13.7 -> 17.9 ms/frame, step6_enet
+    4.4 -> 6.0; tools/out/r5_allknobs5_devtime.out): XLA fuses neighboring
+    elementwise work into the dots, and the stack/reshape interleave broke
+    those fusions. Keep the matmul lowering.
+    """
     h_out, w_out = out_hw
     b, h, w, c = x.shape
     if (h, w) == (h_out, w_out):
