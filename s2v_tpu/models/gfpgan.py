@@ -20,12 +20,14 @@ import flax.linen as nn
 
 from s2v_tpu.models.layers import (
     Conv,
+    ConvParams,
     Dense,
     ResBlockENet,
     StyleConv,
     ToRGB,
     lrelu,
 )
+from s2v_tpu.ops.convs import conv2d
 
 
 def _channels(narrow: float, channel_multiplier: int):
@@ -153,14 +155,43 @@ class GFPGANv1Clean(nn.Module):
             feat = ResBlockENet(ch[2 ** (i + 3)], mode="up",
                                 name=f"conv_body_up{i}")(feat)
             sft_ch = ch[2 ** (i + 3)] if self.sft_half else ch[2 ** (i + 3)] * 2
-            scale = Conv(sft_ch, (3, 3), padding=(1, 1),
-                         name=f"condition_scale{i}_2")(
-                lrelu(Conv(ch[2 ** (i + 3)], (3, 3), padding=(1, 1),
-                           name=f"condition_scale{i}_0")(feat), 0.2))
-            shift = Conv(sft_ch, (3, 3), padding=(1, 1),
-                         name=f"condition_shift{i}_2")(
-                lrelu(Conv(ch[2 ** (i + 3)], (3, 3), padding=(1, 1),
-                           name=f"condition_shift{i}_0")(feat), 0.2))
+            ch_i = ch[2 ** (i + 3)]
+            if 2 * max(ch_i, sft_ch) <= 128:
+                # MXU-fill fusion (exact): below 128 channels a TPU conv's
+                # cost is set by the 128-lane padding, not by C — so the
+                # scale and shift branches (same input `feat`) are computed
+                # as ONE 2C-wide pipeline: first convs concatenated along
+                # Cout, second convs as one block-diagonal conv (off-diagonal
+                # blocks are exact zeros). Param tree is unchanged
+                # (ConvParams declares Conv's exact params). Reference
+                # computes the two branches separately
+                # (gfpgan_arch.py condition_scale/condition_shift).
+                ws0, bs0 = ConvParams(ch_i, name=f"condition_scale{i}_0")(
+                    feat.shape[-1])
+                ws2, bs2 = ConvParams(sft_ch, name=f"condition_scale{i}_2")(
+                    ch_i)
+                wh0, bh0 = ConvParams(ch_i, name=f"condition_shift{i}_0")(
+                    feat.shape[-1])
+                wh2, bh2 = ConvParams(sft_ch, name=f"condition_shift{i}_2")(
+                    ch_i)
+                y = lrelu(conv2d(
+                    feat, jnp.concatenate([ws0, wh0], axis=-1),
+                    jnp.concatenate([bs0, bh0]), padding=(1, 1)), 0.2)
+                w2 = jnp.zeros((3, 3, 2 * ch_i, 2 * sft_ch), ws2.dtype)
+                w2 = w2.at[:, :, :ch_i, :sft_ch].set(ws2)
+                w2 = w2.at[:, :, ch_i:, sft_ch:].set(wh2)
+                z = conv2d(y, w2, jnp.concatenate([bs2, bh2]),
+                           padding=(1, 1))
+                scale, shift = z[..., :sft_ch], z[..., sft_ch:]
+            else:
+                scale = Conv(sft_ch, (3, 3), padding=(1, 1),
+                             name=f"condition_scale{i}_2")(
+                    lrelu(Conv(ch_i, (3, 3), padding=(1, 1),
+                               name=f"condition_scale{i}_0")(feat), 0.2))
+                shift = Conv(sft_ch, (3, 3), padding=(1, 1),
+                             name=f"condition_shift{i}_2")(
+                    lrelu(Conv(ch_i, (3, 3), padding=(1, 1),
+                               name=f"condition_shift{i}_0")(feat), 0.2))
             conditions.extend([scale, shift])
 
         return StyleGAN2GeneratorCSFT(

@@ -74,6 +74,36 @@ class Conv(nn.Module):
         )
 
 
+class ConvParams(nn.Module):
+    """Declares the exact param tree of :class:`Conv` without computing.
+
+    Used by callers that fuse several sibling convolutions into one wider
+    convolution for MXU-lane fill (e.g. the GFPGAN SFT condition branches,
+    gfpgan.py) while keeping checkpoint-compatible parameter names/shapes.
+    Init distributions are byte-identical to Conv's.
+    """
+
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    use_bias: bool = True
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kh, kw = self.kernel
+        w = self.param(
+            "weight", kaiming_uniform_init, (kh, kw, cin // self.groups, self.features)
+        )
+        b = (
+            self.param(
+                "bias", bias_uniform_init(kh * kw * cin // self.groups), (self.features,)
+            )
+            if self.use_bias
+            else None
+        )
+        return w, b
+
+
 class ConvTranspose(nn.Module):
     """torch nn.ConvTranspose2d twin (k3 s2 p1 op1 by default)."""
 

@@ -111,3 +111,37 @@ def test_gfpgan_clean_parity():
     got = np.asarray(got).transpose(0, 3, 1, 2)
     assert got.shape == want.numpy().shape
     np.testing.assert_allclose(got, want.numpy(), rtol=0, atol=5e-3)
+
+
+def test_gfpgan_clean_parity_merged_conditions():
+    """narrow=0.5 / out_size=128 makes the finest scales hit the fused
+    scale+shift condition pipeline (2*ch <= 128); parity must hold there
+    too (the production 512 config hits it at the 256/512 scales)."""
+    torch.manual_seed(11)
+    RefGFPGAN = load_ref_gfpgan()
+    ref = RefGFPGAN(
+        out_size=128, num_style_feat=128, channel_multiplier=2,
+        decoder_load_path=None, fix_decoder=False, num_mlp=4,
+        input_is_latent=True, different_w=True, narrow=0.5, sft_half=True,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    variables = convert_gfpgan_clean(sd, out_size=128, num_mlp=4)
+
+    model = GFPGANv1Clean(out_size=128, num_style_feat=128,
+                          channel_multiplier=2, num_mlp=4,
+                          input_is_latent=True, different_w=True,
+                          narrow=0.5, sft_half=True)
+
+    x = (RNG.rand(2, 128, 128, 3).astype(np.float32) - 0.5) * 2
+    with torch.no_grad():
+        want, _ = ref(
+            torch.from_numpy(np.ascontiguousarray(x.transpose(0, 3, 1, 2))),
+            randomize_noise=False,
+        )
+    got = model.apply(
+        jax.tree_util.tree_map(jnp.asarray, variables), jnp.asarray(x),
+        deterministic=True,
+    )
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    assert got.shape == want.numpy().shape
+    np.testing.assert_allclose(got, want.numpy(), rtol=0, atol=5e-3)
