@@ -154,7 +154,21 @@ def grid_sample_bilinear(image: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
         g_need = -(-total // limit)
         g = next((k for k in range(g_need, min(4 * g_need, n) + 1)
                   if n % k == 0), 0)
-    if g:
+    if g and g <= 4:
+        # Small group counts: unroll statically. A ``lax.map`` here costs a
+        # device while-loop + dynamic-update-slice per group and serializes
+        # the (independent) gathers behind the loop barrier — measured
+        # ~30% of DNet's whole stage time at g=2 (r5_xplane_dnet). The
+        # unrolled groups fuse/pipeline freely; math is identical. Capped
+        # at 4 so the worst-case live padded temps stay <=4 GB if XLA
+        # chooses to materialize every group at once.
+        parts = []
+        for k in range(g):
+            m = n // g
+            sl = tuple(a[:, k * m:(k + 1) * m] for a in flats)
+            parts.append(interp(sl))
+        out = jnp.concatenate(parts, axis=1)  # [B, n, C]
+    elif g:
         m = n // g
         grouped = tuple(
             a.reshape(b, g, m).swapaxes(0, 1) for a in flats)  # [g, B, m]
@@ -336,8 +350,13 @@ def _shear_resample_rows(x: jnp.ndarray, stride: jnp.ndarray,
     # extra tap for its lerp.
     kx = 2 * s + 1                  # einsum window width (as before)
     kg = kx + U                     # gathered window width per group
+    if os.environ.get("S2V_SHEAR_KG128") == "1":
+        # Probe: round the gathered slice width up to a lane-tile multiple
+        # in case the serial dynamic-slice lowering of the group gather
+        # (r5_xplane_mouth_tail3 while.31-34) is minor-dim-alignment-bound.
+        kg = -(-kg // 128) * 128
     # group starts range over [0, 2s]; the padded row must fit start+kg
-    pad_l, pad_r = s, 2 * s + 1 + U
+    pad_l, pad_r = s, kg
     rows = jnp.arange(rp, dtype=jnp.float32)
     pos = shift[:, None] * rows[None, :] + const[:, None]       # [N, Rp]
     # Group window origin: the smallest row base in the group (pos is

@@ -74,6 +74,21 @@ def test_grid_sample_matches_torch():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def test_grid_sample_unrolled_groups_matches_torch():
+    """total patches > 2^19 with a small group count hits the statically
+    unrolled grouping branch (DNet's 256^2 x batch-16 warp shape class)."""
+    x = RNG.randn(3, 512, 512, 2).astype(np.float32)
+    grid = (RNG.rand(3, 512, 512, 2).astype(np.float32) * 2.2 - 1.1)
+    want = to_nhwc(
+        F.grid_sample(
+            nchw(x), torch.from_numpy(grid), mode="bilinear",
+            padding_mode="zeros", align_corners=False,
+        )
+    )
+    got = np.asarray(grid_sample_bilinear(jnp.asarray(x), jnp.asarray(grid)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_grid_sample_offset_first_layout_matches_torch():
     """Outputs >= 2^20 pixels switch the gather to the offset-dims-first
     layout (ops/warp.py: kills the TPU tile-padding blowup at 2048^2);
