@@ -856,7 +856,7 @@ def _recorded_knob_line() -> dict:
     parity surface and the headline)."""
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "tools", "out")
-    for name in ("r5_allknobs5_devtime.out",
+    for name in ("r5_allknobs6_devtime.out", "r5_allknobs5_devtime.out",
                  "r5_allknobs4_devtime.out", "r5_refaff_devtime.out",
                  "r5_allknobs3_devtime.out", "r5_allknobs2_devtime.out"):
         try:
